@@ -1,0 +1,180 @@
+"""Weighted rigid alignment (Kabsch / weighted Procrustes), TPU-native.
+
+The reference computes the 3x3 SVD **on the CPU** because batched small SVDs
+were slow on its CUDA stack (GMF_PointDSC/models/common.py:40-41,
+GMF_DGR core/registration.py:104-113, documented in misc/svd_speed.py). On
+TPU we eliminate the host round-trip entirely:
+
+- ``kabsch_quat`` (default hot path): Horn's quaternion formulation — the
+  optimal *proper* rotation is the leading eigenvector of a symmetric 4x4
+  matrix built from the weighted cross-covariance. We find it with a fixed
+  number of shifted power iterations: pure batched matmuls, MXU-friendly,
+  differentiable, no data-dependent shapes, and reflections are impossible
+  by construction (quaternions always yield det(R)=+1).
+- ``kabsch_svd``: jnp.linalg.svd reference path (XLA-lowered), kept for
+  cross-checking and for callers that want the exact SVD semantics.
+
+Both reproduce the math of the reference's ``rigid_transform_3d``
+(GMF_PointDSC/models/common.py:10-50) and ``weighted_procrustes``
+(GMF_DGR core/registration.py:91-113).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gmf_tpu.geometry.se3 import integrate_trans
+
+_PREC = jax.lax.Precision.HIGHEST
+
+_EPS = 1e-6
+
+
+def _weighted_cross_covariance(A, B, weights):
+    """Weighted centroids and cross-covariance H = Am^T diag(w) Bm.
+
+    A, B: [..., K, 3]; weights: [..., K]. Returns (H, cA, cB) with
+    H: [..., 3, 3], cA/cB: [..., 3].
+    """
+    wsum = jnp.sum(weights, axis=-1, keepdims=True)  # [..., 1]
+    cA = jnp.sum(A * weights[..., None], axis=-2) / (wsum + _EPS)
+    cB = jnp.sum(B * weights[..., None], axis=-2) / (wsum + _EPS)
+    Am = A - cA[..., None, :]
+    Bm = B - cB[..., None, :]
+    # H = Am^T W Bm — single batched matmul instead of diag_embed @ (ref
+    # materializes a KxK diagonal: common.py:36-37).
+    H = jnp.einsum("...ki,...k,...kj->...ij", Am, weights, Bm, precision=_PREC)
+    return H, cA, cB
+
+
+def _horn_quaternion_matrix(H):
+    """Build Horn's symmetric 4x4 N matrix from cross-covariance H.
+
+    The unit quaternion q maximizing q^T N q is the optimal rotation taking
+    the (centered) source onto the (centered) target.
+    """
+    Sxx, Sxy, Sxz = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    Syx, Syy, Syz = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    Szx, Szy, Szz = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    row0 = jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], axis=-1)
+    row1 = jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], axis=-1)
+    row2 = jnp.stack([Szx - Sxz, Sxy + Syx, Syy - Sxx - Szz, Syz + Szy], axis=-1)
+    row3 = jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, Szz - Sxx - Syy], axis=-1)
+    return jnp.stack([row0, row1, row2, row3], axis=-2)
+
+
+def quat_to_rotmat(q):
+    """Unit quaternion [..., 4] (w, x, y, z) -> rotation matrix [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def _leading_eigvec_4x4(N, num_iters: int = 40):
+    """Leading eigenvector of a batch of symmetric 4x4 matrices.
+
+    Shifted power iteration: M = N + sigma*I with sigma an upper bound on
+    |lambda| (row-sum bound), so M is PSD and its dominant eigenvector is
+    N's most-positive one. Fixed iteration count -> static control flow.
+    """
+    sigma = jnp.sum(jnp.abs(N), axis=-1).max(axis=-1)  # Gershgorin bound
+    M = N + (sigma[..., None, None] + 1.0) * jnp.eye(4, dtype=N.dtype)
+    # M^(2^k) trick: square the matrix a few times, then one matvec. Five
+    # squarings give an effective 2^5=32-step power iteration plus
+    # `num_iters` explicit refinement steps.
+    v = jnp.ones(N.shape[:-1], dtype=N.dtype)
+
+    def body(_, carry):
+        M2, v = carry
+        v = jnp.einsum("...ij,...j->...i", M2, v, precision=_PREC)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+        return M2, v
+
+    for _ in range(3):  # M <- M^2 (normalized to avoid overflow)
+        M = jnp.matmul(M, M, precision=_PREC)
+        M = M / (jnp.linalg.norm(M, axis=(-2, -1), keepdims=True) + _EPS)
+    _, v = jax.lax.fori_loop(0, num_iters, body, (M, v))
+    return v
+
+
+def kabsch_quat(A, B, weights=None, num_iters: int = 40):
+    """Weighted rigid alignment via Horn's quaternion method.
+
+    Args:
+      A: [..., K, 3] source points.
+      B: [..., K, 3] target points.
+      weights: [..., K] nonnegative weights (None = uniform).
+      num_iters: power-iteration refinement steps.
+
+    Returns:
+      [..., 4, 4] transform T with B ≈ transform(A, T).
+    """
+    if weights is None:
+        weights = jnp.ones(A.shape[:-1], dtype=A.dtype)
+    H, cA, cB = _weighted_cross_covariance(A, B, weights)
+    Nmat = _horn_quaternion_matrix(H)
+    q = _leading_eigvec_4x4(Nmat, num_iters=num_iters)
+    R = quat_to_rotmat(q)
+    t = cB - jnp.einsum("...ij,...j->...i", R, cA, precision=_PREC)
+    return integrate_trans(R, t)
+
+
+def kabsch_svd(A, B, weights=None):
+    """Weighted Kabsch via SVD of the 3x3 cross-covariance.
+
+    Mirrors GMF_PointDSC/models/common.py:10-50 exactly (including the
+    det-based reflection fix) but stays on-device — no ``.cpu()`` hop.
+    """
+    if weights is None:
+        weights = jnp.ones(A.shape[:-1], dtype=A.dtype)
+    H, cA, cB = _weighted_cross_covariance(A, B, weights)
+    U, _, Vh = jnp.linalg.svd(H)
+    V = jnp.swapaxes(Vh, -1, -2)
+    det = jnp.linalg.det(jnp.matmul(V, jnp.swapaxes(U, -1, -2), precision=_PREC))
+    D = jnp.concatenate(
+        [
+            jnp.ones(H.shape[:-2] + (2,), dtype=H.dtype),
+            det[..., None],
+        ],
+        axis=-1,
+    )
+    R = jnp.matmul(V * D[..., None, :], jnp.swapaxes(U, -1, -2), precision=_PREC)
+    t = cB - jnp.einsum("...ij,...j->...i", R, cA, precision=_PREC)
+    return integrate_trans(R, t)
+
+
+def rigid_transform_3d(A, B, weights=None, weight_threshold: float = 0.0,
+                       method: str = "quat"):
+    """Drop-in equivalent of the reference's ``rigid_transform_3d``.
+
+    Clips weights below ``weight_threshold`` to zero, then solves the
+    weighted Procrustes problem. ``method``: "quat" (TPU hot path) or "svd".
+
+    Parity: GMF_PointDSC/models/common.py:10-50.
+    """
+    if weights is not None and weight_threshold > 0.0:
+        weights = jnp.where(weights < weight_threshold, 0.0, weights)
+    if method == "quat":
+        return kabsch_quat(A, B, weights)
+    if method == "svd":
+        return kabsch_svd(A, B, weights)
+    raise ValueError(f"unknown method {method!r}")

@@ -1,0 +1,30 @@
+"""Test harness: run everything on CPU with 8 virtual devices.
+
+This is the TPU-native answer to multi-chip testing without a pod slice
+(SURVEY.md §4): JAX's host-platform device-count spoof lets sharding /
+collective code compile and execute exactly as it would on 8 real chips.
+
+Note: this machine's site customization pre-registers a TPU PJRT plugin and
+pins JAX_PLATFORMS, so the env var alone is not enough — we must override
+via jax.config after import, before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(51)  # the reference's eval seed
