@@ -1,0 +1,95 @@
+"""Benchmark: PointDSC+GMF test-mode registration throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "registration_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": R}
+
+Baseline: the reference's 3DMatch eval model time of 0.14 s/pair
+(GMF_PointDSC/evaluation/test_3DMatch.py:200-205, single CUDA GPU) =
+7.143 pairs/s. We run the full test-mode pipeline (12-layer fused encoder,
+NMS seeds, seed-local spectral matching, batched Kabsch, post-refinement)
+at N=5000 correspondences — the scale of the reference's num_node='all'
+3DMatch evaluation — with pair batching (the TPU path compiles once per
+bucket, so batching pairs is free throughput the reference cannot get).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 1.0 / 0.14  # reference model time 0.14 s/pair
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-corr", type=int, default=5000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true", help="force CPU")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (CI smoke)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from gmf_tpu.data import make_correspondence_problem
+    from gmf_tpu.models import PointDSC
+
+    if args.tiny:
+        model = PointDSC(num_layers=2, num_channels=32, k=10)
+        image_hw = (24, 32)
+    else:
+        model = PointDSC()  # reference config
+        image_hw = (120, 160)
+
+    rng = np.random.RandomState(0)
+    batch = make_correspondence_problem(
+        rng, num_corr=args.num_corr, batch=args.batch, image_hw=image_hw,
+        inlier_ratio=0.4,
+    )
+    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    variables = model.init(
+        jax.random.PRNGKey(0), arrs["corr_pos"], arrs["src_keypts"],
+        arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"],
+    )
+
+    @jax.jit
+    def register(variables, corr_pos, src, tgt, p_img, q_img):
+        out = model.apply(variables, corr_pos, src, tgt, p_img, q_img,
+                          testing=True)
+        return out["final_trans"], out["final_labels"]
+
+    fargs = (variables, arrs["corr_pos"], arrs["src_keypts"],
+             arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"])
+
+    for _ in range(args.warmup):
+        T, labels = register(*fargs)
+        jax.block_until_ready(T)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        T, labels = register(*fargs)
+        jax.block_until_ready(T)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": "registration_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

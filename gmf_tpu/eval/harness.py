@@ -1,0 +1,171 @@
+"""12-column per-pair evaluation engine with scene/pair aggregation.
+
+Parity: GMF_PointDSC/evaluation/test_3DMatch.py:24-194 — per-pair stats
+row layout (column indices identical to the reference):
+
+  0 success   1 RE(deg)   2 TE(cm)   3 input inlier #   4 input inlier ratio
+  5 output inlier #   6 precision   7 recall   8 F1
+  9 model_time(s)  10 data_time(s)  11 scene_index
+
+Aggregation matches the reference exactly: scene-level means with RE/TE
+averaged over *successful* pairs only; then scene-average and all-pair
+rollups (ref :156-194).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+STAT_COLUMNS = [
+    "success", "re_deg", "te_cm", "input_inlier_num", "input_inlier_ratio",
+    "output_inlier_num", "precision", "recall", "f1", "model_time",
+    "data_time", "scene_index",
+]
+
+
+@dataclasses.dataclass
+class PairStats:
+    """One evaluation row; ``to_row`` yields the reference's 12-col array."""
+
+    success: bool
+    re_deg: float
+    te_cm: float
+    input_inlier_num: int
+    input_inlier_ratio: float
+    output_inlier_num: int
+    precision: float
+    recall: float
+    f1: float
+    model_time: float
+    data_time: float
+    scene_index: int
+
+    def to_row(self) -> np.ndarray:
+        return np.array([
+            float(self.success), self.re_deg, self.te_cm,
+            self.input_inlier_num, self.input_inlier_ratio,
+            self.output_inlier_num, self.precision, self.recall, self.f1,
+            self.model_time, self.data_time, self.scene_index,
+        ])
+
+
+def compute_pair_stats(pred_trans, gt_trans, src_keypts, tgt_keypts,
+                       pred_labels, gt_labels, re_thresh: float,
+                       te_thresh_cm: float, model_time: float = 0.0,
+                       data_time: float = 0.0, scene_index: int = 0,
+                       mask=None) -> PairStats:
+    """Stats for one pair from NumPy arrays (unbatched or [1, ...])."""
+    def squeeze(x):
+        x = np.asarray(x)
+        return x[0] if x.ndim and x.shape[0] == 1 and x.ndim > 1 else x
+
+    T, Tg = np.asarray(pred_trans).reshape(4, 4), np.asarray(gt_trans).reshape(4, 4)
+    src = squeeze(src_keypts).reshape(-1, 3)
+    pred = np.asarray(pred_labels).reshape(-1)
+    gt = np.asarray(gt_labels).reshape(-1)
+    if mask is not None:
+        m = np.asarray(mask).reshape(-1) > 0
+        src, pred, gt = src[m], pred[m], gt[m]
+
+    tr = float(np.trace(T[:3, :3].T @ Tg[:3, :3]))
+    re = float(np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))))
+    te = float(np.linalg.norm(T[:3, 3] - Tg[:3, 3]) * 100.0)
+    success = (re < re_thresh) and (te < te_thresh_cm)
+
+    pred_bin = pred > 0
+    tp = float(np.sum(pred_bin * gt))
+    precision = tp / max(np.sum(pred_bin), 1e-8)
+    recall = tp / max(np.sum(gt), 1e-8)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-8)
+
+    return PairStats(
+        success=success, re_deg=re, te_cm=te,
+        input_inlier_num=int(np.sum(gt)),
+        input_inlier_ratio=float(np.mean(gt)) if gt.size else 0.0,
+        output_inlier_num=int(np.sum(gt[pred_bin])),
+        precision=precision, recall=recall, f1=f1,
+        model_time=model_time, data_time=data_time,
+        scene_index=scene_index,
+    )
+
+
+def evaluate_pairs(register_fn: Callable, pairs: Iterable[Dict],
+                   re_thresh: float = 15.0, te_thresh_cm: float = 30.0,
+                   scene_index: int = 0) -> np.ndarray:
+    """Run ``register_fn(pair) -> (pred_trans, pred_labels)`` over pairs.
+
+    Each pair dict needs src_keypts, tgt_keypts, gt_trans, labels (and
+    whatever register_fn consumes). Returns the [num_pairs, 12] stats array.
+    """
+    import time
+
+    rows: List[np.ndarray] = []
+    data_timer_last = time.perf_counter()
+    for pair in pairs:
+        data_time = time.perf_counter() - data_timer_last
+        t0 = time.perf_counter()
+        pred_trans, pred_labels = register_fn(pair)
+        pred_trans = np.asarray(pred_trans)
+        model_time = time.perf_counter() - t0
+        stats = compute_pair_stats(
+            pred_trans, pair["gt_trans"], pair["src_keypts"],
+            pair["tgt_keypts"], np.asarray(pred_labels), pair["labels"],
+            re_thresh, te_thresh_cm, model_time, data_time, scene_index,
+            mask=pair.get("corr_mask"),
+        )
+        rows.append(stats.to_row())
+        data_timer_last = time.perf_counter()
+    return np.stack(rows) if rows else np.zeros((0, 12))
+
+
+def aggregate_scenes(all_stats: Dict[str, np.ndarray]) -> Dict:
+    """Scene-level and pair-level rollups (ref :156-194).
+
+    RE/TE averages use successful pairs only, as in the reference.
+    """
+    scene_vals = []
+    per_scene = {}
+    for scene, stats in all_stats.items():
+        if stats.shape[0] == 0:
+            continue
+        vals = stats.mean(0)
+        ok = stats[stats[:, 0] == 1]
+        if ok.shape[0]:
+            vals[1], vals[2] = ok[:, 1].mean(), ok[:, 2].mean()
+        scene_vals.append(vals)
+        per_scene[scene] = vals
+    scene_avg = np.mean(scene_vals, axis=0) if scene_vals else np.zeros(12)
+
+    allpair = np.concatenate(list(all_stats.values()), axis=0)
+    pair_avg = allpair.mean(0) if allpair.shape[0] else np.zeros(12)
+    ok = allpair[allpair[:, 0] == 1]
+    re_ok = ok[:, 1].mean() if ok.shape[0] else float("nan")
+    te_ok = ok[:, 2].mean() if ok.shape[0] else float("nan")
+
+    return {
+        "per_scene": per_scene,
+        "scene_avg": scene_avg,
+        "pair_avg": pair_avg,
+        "recall_pct": pair_avg[0] * 100.0,
+        "re_deg": re_ok,
+        "te_cm": te_ok,
+        "num_pairs": int(allpair.shape[0]),
+        "all_stats": allpair,
+    }
+
+
+def format_report(agg: Dict) -> str:
+    """Render the reference's log lines (ref :185-191)."""
+    a = agg["pair_avg"]
+    lines = [
+        f"All {agg['num_pairs']} pairs, Mean Reg Recall={agg['recall_pct']:.2f}%, "
+        f"Mean Re={agg['re_deg']:.2f}, Mean Te={agg['te_cm']:.2f}",
+        f"\tInput:  Mean Inlier Num={a[3]:.2f}(ratio={a[4] * 100:.2f}%)",
+        f"\tOutput: Mean Inlier Num={a[5]:.2f}(precision={a[6] * 100:.2f}%, "
+        f"recall={a[7] * 100:.2f}%, f1={a[8] * 100:.2f}%)",
+        f"\tMean model time: {a[9]:.2f}s, Mean data time: {a[10]:.2f}s",
+    ]
+    return "\n".join(lines)

@@ -40,7 +40,8 @@ def pdist(A, B, dist_type: str = "SquareL2"):
 
 
 @partial(jax.jit, static_argnames=("k", "ignore_self", "normalized"))
-def knn(x, k: int, ignore_self: bool = False, normalized: bool = True):
+def knn(x, k: int, ignore_self: bool = False, normalized: bool = True,
+        mask=None):
     """Indices of the k nearest neighbors of each row of x within x.
 
     Args:
@@ -50,6 +51,8 @@ def knn(x, k: int, ignore_self: bool = False, normalized: bool = True):
       normalized: if True, assumes rows are L2-normalized so
         d = 2 - 2<x_i, x_j> (the reference uses `2 - inner` with
         inner = 2 x x^T; same ordering).
+      mask: optional [B, N] validity mask; invalid rows are never selected
+        as neighbors (padded-batch support; absent in the reference).
 
     Returns:
       [B, N, k] int32 neighbor indices.
@@ -62,6 +65,8 @@ def knn(x, k: int, ignore_self: bool = False, normalized: bool = True):
     else:
         xx = jnp.sum(x * x, axis=-1, keepdims=True)
         dist = xx - inner + jnp.swapaxes(xx, -1, -2)
+    if mask is not None:
+        dist = jnp.where(mask[..., None, :] > 0, dist, jnp.inf)
     kk = k + 1 if ignore_self else k
     _, idx = jax.lax.top_k(-dist, kk)  # smallest distances
     if ignore_self:

@@ -18,6 +18,14 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _safe_norm(v, axis=-1, keepdims=True, eps=1e-24):
+    """L2 norm with a NaN-free gradient at v=0 (sqrt(sum+eps) instead of
+    jnp.linalg.norm, whose derivative is NaN at the origin — the exact
+    hazard the reference papers over with its NaN-step-skip guard,
+    libs/trainer.py:158-166)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims) + eps)
+
+
 @partial(jax.jit, static_argnames=("num_iters",))
 def leading_eigenvector(M, num_iters: int = 10, rtol: float = 1e-5,
                         atol: float = 1e-8):
@@ -41,7 +49,7 @@ def leading_eigenvector(M, num_iters: int = 10, rtol: float = 1e-5,
         i, v, _ = carry
         v_new = jnp.einsum("...ij,...j->...i", M, v, precision=_PREC)
         # Reference normalizes with torch.norm over the token dim (+1e-6).
-        v_new = v_new / (jnp.linalg.norm(v_new, axis=-1, keepdims=True) + 1e-6)
+        v_new = v_new / (_safe_norm(v_new) + 1e-6)
         return i + 1, v_new, v
 
     # First iteration always runs (the reference compares against the
@@ -63,6 +71,6 @@ def leading_eigenvector_fixed(M, num_iters: int = 10):
 
     def body(_, v):
         v = jnp.einsum("...ij,...j->...i", M, v, precision=_PREC)
-        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+        return v / (_safe_norm(v) + 1e-6)
 
     return jax.lax.fori_loop(0, num_iters, body, v0)

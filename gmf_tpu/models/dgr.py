@@ -1,0 +1,279 @@
+"""DGR+GMF registration engine: SE(3) refinement + full register() pipeline.
+
+Parity targets:
+- GMF_DGR_fcgf/core/registration.py:16-64  ``ortho2rotation`` (6D rotation
+  parameterization) -> ``ortho6d_to_rotation``.
+- core/registration.py:135-194 ``GlobalRegistration`` (Adam lr=0.1 +
+  ExpLR(0.999) on HighDimSmoothL1 of warped points, <=1000 iters, breaks
+  on loss<1e-7 or 20 consecutive relative improvements < 1e-5)
+  -> ``se3_refine`` (lax.while_loop, same stopping rules, fully on-device).
+- core/deep_global_registration.py:90-410 ``DeepGlobalRegistration`` —
+  preprocess/voxelize -> FCGF features -> 1-NN matching -> 6D inlier net
+  with GMF images -> sigmoid weight clip -> weighted Procrustes + SE(3)
+  refinement -> wsum safeguard (RANSAC) -> optional ICP
+  -> ``DeepGlobalRegistration.register``.
+
+TPU-first: the CUDA/CPU-SVD hops are gone (Horn-quaternion Procrustes),
+the safeguard RANSAC is the batched JAX hypothesis sweep, and all dynamic
+shapes are bucketed on the host before entering jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gmf_tpu.geometry.icp import icp_refine
+from gmf_tpu.geometry.kabsch import rigid_transform_3d
+from gmf_tpu.geometry.knn import nearest_neighbor
+from gmf_tpu.geometry.ransac import ransac_registration
+from gmf_tpu.geometry.se3 import integrate_trans
+from gmf_tpu.sparse.kernel_map import build_pyramid
+from gmf_tpu.sparse.resunet import (
+    FCGFNet, GMFInlierNet, pyramid_to_arrays,
+)
+from gmf_tpu.sparse.voxelize import sparse_quantize
+from gmf_tpu.train.losses import high_dim_smooth_l1_loss
+
+
+def ortho6d_to_rotation(poses):
+    """6D rotation parameterization -> [B, 3, 3] rotation (Gram-Schmidt).
+
+    Columns (x, y, z) exactly as core/registration.py:16-64.
+    """
+    x_raw, y_raw = poses[:, 0:3], poses[:, 3:6]
+    x = x_raw / jnp.clip(
+        jnp.linalg.norm(x_raw, axis=1, keepdims=True), 1e-8)
+    proj = jnp.sum(x * y_raw, axis=1, keepdims=True) * x
+    y = y_raw - proj
+    y = y / jnp.clip(jnp.linalg.norm(y, axis=1, keepdims=True), 1e-8)
+    z = jnp.cross(x, y)
+    return jnp.stack([x, y, z], axis=-1)  # columns
+
+
+@partial(jax.jit, static_argnames=("max_iter", "max_break_count"))
+def se3_refine(points, trans_points, weights, init_trans,
+               max_iter: int = 1000, lr: float = 0.1, gamma: float = 0.999,
+               break_threshold_ratio: float = 1e-5,
+               max_break_count: int = 20, quantization_size: float = 1.0):
+    """Gradient-based SE(3) refinement (GlobalRegistration equivalent).
+
+    Optimizes a 6D-rotation + translation with Adam on the weighted
+    HighDimSmoothL1 of warped points; reproduces the reference's stopping
+    rules inside one lax.while_loop.
+
+    Returns (trans [4,4], final_loss, iterations).
+    """
+    R0 = init_trans[:3, :3]
+    t0 = init_trans[:3, 3]
+    rot6d = jnp.concatenate([R0[:, 0], R0[:, 1]])[None]  # [1, 6]
+    trans = t0[None]
+
+    opt = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(
+            lambda step: -lr * (gamma ** step)),
+    )
+    params = {"rot6d": rot6d, "trans": trans}
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        R = ortho6d_to_rotation(p["rot6d"])[0]
+        warped = points @ R.T + p["trans"][0]
+        return high_dim_smooth_l1_loss(
+            warped, trans_points, weights=weights,
+            quantization_size=quantization_size)
+
+    loss0 = loss_fn(params)
+
+    def cond(carry):
+        params, opt_state, loss_prev, brk, it, done = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        params, opt_state, loss_prev, brk, it, _ = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        done = loss < 1e-7
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        improved = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
+        brk2 = jnp.where(improved, brk + 1, 0)
+        done = jnp.logical_or(done, brk2 >= max_break_count)
+        # keep stepping only when not done (parity: reference breaks before
+        # the step on loss<1e-7 and after the step on break_count).
+        params_out = jax.tree.map(
+            lambda a, b: jnp.where(loss < 1e-7, a, b), params, params2)
+        return params_out, opt_state2, loss, brk2, it + 1, done
+
+    carry = (params, opt_state, loss0, jnp.asarray(0), jnp.asarray(0),
+             jnp.asarray(False))
+    params, _, loss, _, it, _ = jax.lax.while_loop(cond, body, carry)
+    R = ortho6d_to_rotation(params["rot6d"])[0]
+    T = integrate_trans(R, params["trans"][0])
+    return T, loss, it
+
+
+@dataclasses.dataclass
+class DGRConfig:
+    """Mirrors GMF_DGR config defaults (config_3DMatch.py; KITTI deltas in
+    brackets)."""
+
+    voxel_size: float = 0.05           # [0.3 KITTI]
+    inlier_feature_type: str = "ones"
+    clip_weight_thresh: float = 0.05
+    use_icp: bool = False
+    icp_max_iters: int = 20
+    safeguard_ransac_iters: int = 80000
+    safeguard_min_weight: float = 200.0
+    safeguard_min_frac: float = 0.05
+    voxel_cap_granule: int = 4096
+    corr_cap_granule: int = 2048
+    nn_chunk: int = 2048
+    image_hw: Tuple[int, int] = (120, 160)
+
+
+class DeepGlobalRegistration:
+    """End-to-end DGR+GMF inference engine.
+
+    Holds the FCGF descriptor net + GMF 6D inlier net parameters and
+    orchestrates host-side voxelization/kernel-map building with jitted
+    device compute.
+
+    Parity: core/deep_global_registration.py:90-410.
+    """
+
+    def __init__(self, fcgf_variables, inlier_variables,
+                 config: Optional[DGRConfig] = None,
+                 fcgf_model=None, inlier_model=None):
+        self.config = config or DGRConfig()
+        self.fcgf = fcgf_model or FCGFNet(conv1_kernel_size=7)
+        self.inlier = inlier_model or GMFInlierNet()
+        self.fcgf_vars = fcgf_variables
+        self.inlier_vars = inlier_variables
+        self._fcgf_apply = jax.jit(
+            lambda v, f, p: self.fcgf.apply(v, f, p))
+        self._inlier_apply = jax.jit(
+            lambda v, f, p, pi, qi: self.inlier.apply(
+                v, f, p, p_image=pi, q_image=qi))
+
+    # -- pipeline stages ---------------------------------------------------
+
+    def preprocess(self, xyz: np.ndarray):
+        """Voxelize a cloud (ref :157-185). Returns (coords, sel_idx)."""
+        coords, sel = sparse_quantize(xyz, self.config.voxel_size)
+        return coords, sel
+
+    def fcgf_features(self, coords: np.ndarray):
+        """FCGF descriptor extraction on one voxelized cloud (ref :187-195)."""
+        pyr = build_pyramid(coords, num_levels=4, conv1_kernel_size=7,
+                            granule=self.config.voxel_cap_granule)
+        arrays = pyramid_to_arrays(pyr)
+        cap0 = pyr.levels[0].cap
+        feats = jnp.ones((cap0, 1), jnp.float32)
+        out = self._fcgf_apply(self.fcgf_vars, feats, arrays)
+        return np.asarray(out)[: len(coords)]
+
+    def feature_matching(self, F0: np.ndarray, F1: np.ndarray):
+        """Chunked 1-NN in descriptor space (ref :197-209)."""
+        idx, _ = nearest_neighbor(
+            jnp.asarray(F0), jnp.asarray(F1), chunk=self.config.nn_chunk)
+        return np.asarray(idx)
+
+    def inlier_prediction(self, corr_coords6d: np.ndarray, p_image,
+                          q_image):
+        """6D sparse inlier net with image fusion (ref :248-260).
+
+        corr_coords6d: [N, 6] int voxel coords (src ++ tgt).
+        Returns per-correspondence logits [N].
+        """
+        # 6D coords may repeat (several matches in the same voxel pair):
+        # run the net on unique coords, map logits back (ME does the same
+        # through its coordinate manager).
+        uniq, first_idx, inverse = sparse_quantize(
+            corr_coords6d.astype(np.float64), 1.0,
+            return_index=True, return_inverse=True)
+        pyr = build_pyramid(uniq, num_levels=4, conv1_kernel_size=3,
+                            granule=self.config.corr_cap_granule)
+        arrays = pyramid_to_arrays(pyr)
+        cap0 = pyr.levels[0].cap
+        feats = jnp.ones((cap0, 1), jnp.float32)
+        logits = self._inlier_apply(
+            self.inlier_vars, feats, arrays, jnp.asarray(p_image),
+            jnp.asarray(q_image))
+        logits = np.asarray(logits)[: len(uniq), 0]
+        return logits[inverse]
+
+    def safeguard_registration(self, src, tgt, seed: int = 0):
+        """RANSAC fallback (ref :262-279, 348-396; 80k iterations)."""
+        T, _, _ = ransac_registration(
+            jax.random.PRNGKey(seed), jnp.asarray(src), jnp.asarray(tgt),
+            inlier_threshold=2 * self.config.voxel_size,
+            num_iters=self.config.safeguard_ransac_iters)
+        return np.asarray(T)
+
+    # -- end-to-end ---------------------------------------------------------
+
+    def register(self, xyz0: np.ndarray, xyz1: np.ndarray, p_image,
+                 q_image) -> Dict:
+        """Full DGR+GMF registration (ref :281-410).
+
+        Returns dict(trans [4,4], weights [N], corres (idx0, idx1),
+        used_safeguard bool).
+        """
+        cfg = self.config
+        coords0, sel0 = self.preprocess(np.asarray(xyz0))
+        coords1, sel1 = self.preprocess(np.asarray(xyz1))
+        pts0 = np.asarray(xyz0)[sel0]
+        pts1 = np.asarray(xyz1)[sel1]
+
+        F0 = self.fcgf_features(coords0)
+        F1 = self.fcgf_features(coords1)
+        nn01 = self.feature_matching(F0, F1)
+
+        corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
+        logits = self.inlier_prediction(corr6d, p_image, q_image)
+        weights = 1.0 / (1.0 + np.exp(-logits))  # sigmoid
+        # clip (ref :321-326)
+        weights = np.where(weights < cfg.clip_weight_thresh, 0.0, weights)
+
+        src = pts0
+        tgt = pts1[nn01]
+        wsum = float(weights.sum())
+        n = len(src)
+        used_safeguard = False
+        min_w = max(cfg.safeguard_min_weight, cfg.safeguard_min_frac * n)
+
+        if not np.isfinite(wsum) or wsum < min_w:
+            # wsum gate -> RANSAC safeguard (ref :330, 348-396)
+            T = self.safeguard_registration(src, tgt)
+            used_safeguard = True
+        else:
+            T0 = np.asarray(rigid_transform_3d(
+                jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                jnp.asarray(weights)[None])[0])
+            T, loss, iters = se3_refine(
+                jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(weights),
+                jnp.asarray(T0))
+            T = np.asarray(T)
+            if not np.all(np.isfinite(T)):  # NaN-T detection (ref :348-360)
+                T = self.safeguard_registration(src, tgt)
+                used_safeguard = True
+
+        if cfg.use_icp:
+            T = np.asarray(icp_refine(
+                jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(T),
+                max_corr_dist=2 * cfg.voxel_size,
+                num_iters=cfg.icp_max_iters))
+
+        return {
+            "trans": T,
+            "weights": weights,
+            "corres": (sel0, nn01),
+            "used_safeguard": used_safeguard,
+        }

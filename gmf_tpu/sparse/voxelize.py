@@ -1,0 +1,46 @@
+"""Host-side voxelization (== MinkowskiEngine.sparse_quantize).
+
+Parity: the reference voxelizes with ME.utils.sparse_quantize at every
+pipeline entry (GMF_DGR core/deep_global_registration.py:157-185,
+dataloader/threedmatch_loader.py:139-142, misc/cal_fcgf.py:78-92) —
+floor(xyz / voxel_size), keep the first point of each voxel.
+
+This runs on the host (NumPy) as part of data prep; the device graph only
+ever sees fixed-capacity padded arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def sparse_quantize(coords: np.ndarray, voxel_size: float = 1.0,
+                    return_index: bool = True,
+                    return_inverse: bool = False):
+    """Quantize float coordinates onto a voxel grid, dropping duplicates.
+
+    Args:
+      coords: [N, D] float (or int) coordinates.
+      voxel_size: quantization step (1.0 means coords are already integer).
+
+    Returns:
+      voxel int32 coords [M, D]; optionally (first-occurrence) indices and
+      the inverse map, mirroring ME.sparse_quantize's flags.
+    """
+    if voxel_size != 1.0:
+        grid = np.floor(coords / voxel_size).astype(np.int32)
+    else:
+        grid = np.floor(coords).astype(np.int32)
+    # np.unique(axis=0) sorts lexicographically; 'index' recovers the
+    # first occurrence, matching ME's deterministic first-point selection.
+    uniq, first_idx, inverse = np.unique(
+        grid, axis=0, return_index=True, return_inverse=True
+    )
+    out = [uniq.astype(np.int32)]
+    if return_index:
+        out.append(first_idx)
+    if return_inverse:
+        out.append(inverse)
+    return tuple(out) if len(out) > 1 else out[0]

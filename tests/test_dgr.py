@@ -1,0 +1,135 @@
+"""DGR+GMF engine tests: 6D rotation param, SE(3) refinement, pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gmf_tpu.models.dgr import (
+    ortho6d_to_rotation, se3_refine, DGRConfig, DeepGlobalRegistration,
+)
+from gmf_tpu.sparse.resunet import SparseResUNet2, pyramid_to_arrays
+from gmf_tpu.sparse.kernel_map import build_pyramid
+
+
+def rand_rot(rng):
+    A = rng.randn(3, 3)
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q.astype(np.float32)
+
+
+class TestOrtho6D:
+    def test_roundtrip(self, rng):
+        R = rand_rot(rng)
+        poses = np.concatenate([R[:, 0], R[:, 1]])[None].astype(np.float32)
+        R2 = np.asarray(ortho6d_to_rotation(jnp.asarray(poses)))[0]
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+    def test_always_proper_rotation(self, rng):
+        poses = jnp.asarray(rng.randn(16, 6), jnp.float32)
+        R = np.asarray(ortho6d_to_rotation(poses))
+        dets = np.linalg.det(R)
+        np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+        for r in R:
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+
+
+class TestSE3Refine:
+    def test_refines_noisy_init(self, rng):
+        N = 400
+        src = rng.rand(N, 3).astype(np.float32) * 2
+        R = rand_rot(rng)
+        t = np.array([0.3, -0.1, 0.2], np.float32)
+        tgt = src @ R.T + t + 0.002 * rng.randn(N, 3).astype(np.float32)
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3], T_gt[:3, 3] = R, t
+        # Perturbed init
+        d = 0.1
+        Rp = np.array([[np.cos(d), -np.sin(d), 0],
+                       [np.sin(d), np.cos(d), 0], [0, 0, 1]], np.float32)
+        T0 = T_gt.copy()
+        T0[:3, :3] = Rp @ R
+        T0[:3, 3] += 0.05
+        w = np.ones(N, np.float32)
+        T, loss, iters = se3_refine(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(w),
+            jnp.asarray(T0), max_iter=500)
+        T = np.asarray(T)
+        assert int(iters) > 0
+        np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
+        np.testing.assert_allclose(T[:3, 3], t, atol=1e-2)
+
+    def test_ignores_zero_weight_outliers(self, rng):
+        N = 300
+        src = rng.rand(N, 3).astype(np.float32)
+        R = rand_rot(rng)
+        t = np.zeros(3, np.float32)
+        tgt = src @ R.T
+        tgt[:100] = rng.rand(100, 3)  # corrupt, but zero weight
+        w = np.ones(N, np.float32)
+        w[:100] = 0.0
+        T0 = np.eye(4, dtype=np.float32)
+        T, loss, _ = se3_refine(jnp.asarray(src), jnp.asarray(tgt),
+                                jnp.asarray(w), jnp.asarray(T0),
+                                max_iter=800)
+        np.testing.assert_allclose(np.asarray(T)[:3, :3], R, atol=2e-2)
+
+
+def tiny_engine(rng_key=0):
+    """DGR engine with tiny nets + tiny buckets for CPU tests."""
+    fcgf = SparseResUNet2(in_channels=1, out_channels=8, dim=3,
+                          conv1_kernel_size=3, normalize_feature=True,
+                          channels=(4, 8, 16, 32), tr_channels=(8, 8, 8, 16))
+    inlier = SparseResUNet2(in_channels=1, out_channels=1, dim=6,
+                            conv1_kernel_size=3, with_gmf_fusion=True,
+                            image_dim=16, channels=(4, 8, 16, 32),
+                            tr_channels=(8, 8, 8, 16))
+    cfg = DGRConfig(voxel_size=0.1, voxel_cap_granule=256,
+                    corr_cap_granule=256, safeguard_ransac_iters=1024,
+                    image_hw=(16, 16))
+
+    rng = np.random.RandomState(5)
+    coords = np.unique(rng.randint(0, 10, (80, 3)).astype(np.int32), axis=0)
+    pyr = build_pyramid(coords, 4, conv1_kernel_size=3, granule=256)
+    arrays = pyramid_to_arrays(pyr)
+    fv = fcgf.init(jax.random.PRNGKey(rng_key),
+                   jnp.ones((pyr.levels[0].cap, 1)), arrays)
+
+    coords6 = np.unique(rng.randint(0, 6, (60, 6)).astype(np.int32), axis=0)
+    pyr6 = build_pyramid(coords6, 4, conv1_kernel_size=3, granule=256)
+    arrays6 = pyramid_to_arrays(pyr6)
+    img = jnp.zeros((1, 16, 16, 3))
+    iv = inlier.init(jax.random.PRNGKey(rng_key + 1),
+                     jnp.ones((pyr6.levels[0].cap, 1)), arrays6,
+                     p_image=img, q_image=img)
+    return DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
+                                  inlier_model=inlier)
+
+
+class TestDGREngine:
+    def test_register_end_to_end_mechanics(self, rng):
+        engine = tiny_engine()
+        xyz0 = rng.rand(300, 3).astype(np.float32)
+        ang = 0.3
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        xyz1 = xyz0 @ R.T + np.array([0.2, 0.0, 0.1], np.float32)
+        img = np.zeros((1, 16, 16, 3), np.float32)
+        res = engine.register(xyz0, xyz1, img, img)
+        assert res["trans"].shape == (4, 4)
+        assert np.all(np.isfinite(res["trans"]))
+        assert res["weights"].ndim == 1
+
+    def test_safeguard_recovers_transform(self, rng):
+        engine = tiny_engine()
+        src = rng.rand(400, 3).astype(np.float32) * 2
+        R = rand_rot(rng)
+        t = np.array([0.1, 0.4, -0.2], np.float32)
+        tgt = src @ R.T + t
+        # corrupt 60%
+        idx = rng.choice(400, 240, replace=False)
+        tgt[idx] = rng.rand(240, 3) * 2
+        T = engine.safeguard_registration(src, tgt)
+        np.testing.assert_allclose(T[:3, :3], R, atol=2e-2)
+        np.testing.assert_allclose(T[:3, 3], t, atol=3e-2)
