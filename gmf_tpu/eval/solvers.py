@@ -1,0 +1,52 @@
+"""Eval-time solver variants: SVD (model output), RANSAC post-filter, ICP.
+
+Parity: GMF_PointDSC/evaluation/test_3DMatch.py:71-96 — the model's
+predicted inliers can feed an Open3D RANSAC instead of the model's own
+transform ('RANSAC' solver, 5000 iterations on the predicted-inlier
+correspondence set), and an optional ICP polish
+(evaluation/benchmark_utils.py:40-56). Both are JAX here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmf_tpu.geometry.icp import icp_refine
+from gmf_tpu.geometry.ransac import ransac_registration
+
+
+def make_register_fn(registrar: Callable, solver: str = "SVD",
+                     use_icp: bool = False, inlier_threshold: float = 0.10,
+                     ransac_iters: int = 5000) -> Callable:
+    """Wrap a model registrar with the solver/ICP eval options."""
+
+    def register(pair: Dict[str, np.ndarray]):
+        trans, labels = registrar(pair)
+
+        if solver == "RANSAC":
+            # RANSAC on the model's predicted-inlier correspondences
+            # (ref :75-93). Keep padded shapes static via a weight mask.
+            keep = labels > 0
+            src = pair["src_keypts"][: len(labels)]
+            tgt = pair["tgt_keypts"][: len(labels)]
+            if keep.sum() >= 3:
+                T, inl, _ = ransac_registration(
+                    jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(tgt),
+                    inlier_threshold=inlier_threshold,
+                    num_iters=ransac_iters,
+                    mask=jnp.asarray(keep.astype(np.float32)))
+                trans = np.asarray(T)
+                labels = np.asarray(inl).astype(np.float32)
+
+        if use_icp:
+            trans = np.asarray(icp_refine(
+                jnp.asarray(pair["src_keypts"]), jnp.asarray(pair["tgt_keypts"]),
+                jnp.asarray(trans), max_corr_dist=inlier_threshold * 2,
+                num_iters=20))
+        return trans, labels
+
+    return register

@@ -1,0 +1,54 @@
+"""3DLoMatch (low-overlap) evaluation CLI.
+
+Parity: GMF_PointDSC/evaluation/test_3DLoMatch.py — pair list from
+misc/3DLoMatch.pkl, num_node=5000 default. Reference expected output:
+RR 33.69% (RE 3.64 deg, TE 11.12 cm) for released FCGF weights
+(test_3DMatch.py docstring :206-211).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--pair-file", required=True, help="3DLoMatch.pkl")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--descriptor", default="fcgf")
+    ap.add_argument("--num-node", default="5000")
+    ap.add_argument("--re-thre", type=float, default=15.0)
+    ap.add_argument("--te-thre", type=float, default=30.0)
+    ap.add_argument("--out", default="eval_3dlomatch")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("lomatch")
+
+    from gmf_tpu.data.threedmatch import ThreeDLoMatchTest
+    from gmf_tpu.eval.harness import (
+        aggregate_scenes, evaluate_pairs, format_report,
+    )
+    from gmf_tpu.eval.registration import PointDSCRegistrar
+    from gmf_tpu.utils.model_io import load_pointdsc
+
+    model, variables = load_pointdsc(args.checkpoint)
+    registrar = PointDSCRegistrar(model, variables)
+    num_node = args.num_node if args.num_node == "all" else int(args.num_node)
+    ds = ThreeDLoMatchTest(root=args.root, pair_file=args.pair_file,
+                           num_node=num_node, descriptor=args.descriptor)
+    stats = evaluate_pairs(registrar, (ds[i] for i in range(len(ds))),
+                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre)
+    agg = aggregate_scenes({"3dlomatch": stats})
+    log.info(format_report(agg))
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "all_stats.npy"), agg["all_stats"])
+
+
+if __name__ == "__main__":
+    main()

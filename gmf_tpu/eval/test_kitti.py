@@ -1,0 +1,65 @@
+"""KITTI evaluation CLI (PointDSC+GMF).
+
+Parity: GMF_PointDSC/evaluation/test_KITTI.py — num_node=12000, success =
+RE<5 deg & TE<60 cm, inlier threshold 0.6/1.2 m. Reference expected output
+for released FCGF weights: "All 555 pairs, Mean Success Rate=98.38%"
+(docstring :170-176).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--descriptor", default="fcgf", choices=["fcgf", "fpfh"])
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--num-node", type=int, default=12000)
+    ap.add_argument("--use-mutual", action="store_true", default=False)
+    ap.add_argument("--use-icp", action="store_true")
+    ap.add_argument("--solver", default="SVD", choices=["SVD", "RANSAC"])
+    ap.add_argument("--re-thre", type=float, default=5.0)
+    ap.add_argument("--te-thre", type=float, default=60.0)
+    ap.add_argument("--inlier-threshold", type=float, default=0.60)
+    ap.add_argument("--out", default="eval_kitti")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("evalkitti")
+
+    from gmf_tpu.data.kitti import KITTIDataset
+    from gmf_tpu.eval.harness import (
+        aggregate_scenes, evaluate_pairs, format_report,
+    )
+    from gmf_tpu.eval.registration import PointDSCRegistrar
+    from gmf_tpu.eval.solvers import make_register_fn
+    from gmf_tpu.utils.model_io import load_pointdsc
+
+    # KITTI model: inlier/sigma 1.2 (config_Kitti.py)
+    model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
+    registrar = PointDSCRegistrar(model, variables)
+    register_fn = make_register_fn(registrar, solver=args.solver,
+                                   use_icp=args.use_icp,
+                                   inlier_threshold=1.2)
+
+    ds = KITTIDataset(root=args.root, split=args.split,
+                      descriptor=args.descriptor, num_node=args.num_node,
+                      use_mutual=args.use_mutual,
+                      inlier_threshold=args.inlier_threshold)
+    stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
+                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre)
+    agg = aggregate_scenes({"kitti": stats})
+    log.info(format_report(agg))
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "all_stats.npy"), agg["all_stats"])
+
+
+if __name__ == "__main__":
+    main()

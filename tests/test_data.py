@@ -1,0 +1,152 @@
+"""Data layer tests on synthetic fixture trees (no real datasets needed)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from gmf_tpu.data.correspondence import build_correspondences, encode_corr_pos
+from gmf_tpu.data.imageio import process_image
+from gmf_tpu.data.threedmatch import (
+    ThreeDMatchTrainVal, ThreeDMatchTest, load_gt_log,
+)
+from gmf_tpu.data.kitti import KITTIDataset
+from gmf_tpu.configs import GMFConfig, pointdsc_kitti
+
+
+def write_cloud(path_base, rng, n=200, desc_dim=16):
+    xyz = rng.rand(n, 3).astype(np.float32)
+    feat = rng.randn(n, desc_dim).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    np.savez(path_base + "_fcgf.npz", xyz=xyz, feature=feat)
+    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    import matplotlib.image as mpimg
+
+    mpimg.imsave(path_base + "_0.png", img)
+    return xyz, feat
+
+
+class TestCorrespondences:
+    def test_identical_descriptors_give_identity_matches(self, rng):
+        xyz = rng.rand(50, 3).astype(np.float32)
+        feat = rng.randn(50, 8).astype(np.float32)
+        feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+        out = build_correspondences(xyz, xyz, feat, feat, np.eye(4, dtype=np.float32),
+                                    0.10, use_mutual=True)
+        assert out is not None
+        np.testing.assert_array_equal(out["labels"], 1.0)
+        np.testing.assert_allclose(out["src_keypts"], out["tgt_keypts"])
+
+    def test_encodings(self, rng):
+        src = rng.rand(20, 3).astype(np.float32)
+        tgt = rng.rand(20, 3).astype(np.float32)
+        assert encode_corr_pos(src, tgt, 3).shape == (20, 3)
+        p6 = encode_corr_pos(src, tgt, 6)
+        assert p6.shape == (20, 6)
+        np.testing.assert_allclose(p6.mean(0), 0.0, atol=1e-6)
+        assert encode_corr_pos(src, tgt, 9).shape == (20, 9)
+
+
+class TestProcessImage:
+    def test_resize(self, rng):
+        img = rng.rand(48, 64, 3).astype(np.float32)
+        out = process_image(img, 120, 160)
+        assert out.shape == (120, 160, 3)
+
+    def test_clip_and_pad(self, rng):
+        img = rng.rand(200, 300, 3).astype(np.float32)
+        assert process_image(img, 120, 160, mode="clip").shape == (120, 160, 3)
+        assert process_image(img, 120, 160, mode="padding").shape == (120, 160, 3)
+
+
+class TestThreeDMatch:
+    @pytest.fixture
+    def tree(self, tmp_path, rng):
+        root = tmp_path / "3dimagematch"
+        scene = "fake-scene-1"
+        os.makedirs(root, exist_ok=True)
+        # train layout: root/<scene>/<cloud>.ply-adjacent npz/png
+        os.makedirs(root / scene, exist_ok=True)
+        pairs = []
+        for i in range(3):
+            write_cloud(str(root / scene / f"cloud_bin_{i}"), rng)
+        for i, j in [(0, 1), (1, 2)]:
+            pairs.append((f"{scene}/cloud_bin_{i}.ply",
+                          f"{scene}/cloud_bin_{j}.ply"))
+        overlap = tmp_path / "overlap"
+        os.makedirs(overlap, exist_ok=True)
+        with open(overlap / f"{scene}_overlap.txt", "w") as f:
+            for a, b in pairs:
+                f.write(f"{a} {b} 0.7\n")
+        split = tmp_path / "train_split.txt"
+        split.write_text(scene + "\n")
+        return str(root), str(overlap), str(split)
+
+    def test_trainval_sample(self, tree, rng):
+        root, overlap, split = tree
+        ds = ThreeDMatchTrainVal(
+            root=root, split="train", overlap_path=overlap,
+            num_node=100, use_mutual=False, image_hw=(24, 32),
+            split_file=split)
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["corr_pos"].shape == (100, 6)
+        assert s["p_image"].shape == (24, 32, 3)
+        assert s["gt_trans"].shape == (4, 4)
+        assert set(np.unique(s["labels"])).issubset({0.0, 1.0})
+
+    def test_test_split_gtlog(self, tmp_path, rng):
+        root = tmp_path / "test3dm"
+        scene = "7-scenes-redkitchen"
+        seq = root / scene / "seq-01"
+        os.makedirs(seq, exist_ok=True)
+        T = np.eye(4)
+        T[:3, 3] = [0.1, 0.2, 0.3]
+        with open(root / scene / "gt.log", "w") as f:
+            f.write("0 1 3\n")
+            for row in T:
+                f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+        for i in range(2):
+            write_cloud(str(seq / f"cloud_bin_{i}"), rng)
+        gt = load_gt_log(str(root / scene))
+        assert "0_1" in gt
+        np.testing.assert_allclose(gt["0_1"], T)
+        ds = ThreeDMatchTest(root=str(root), num_node="all",
+                             use_mutual=False, select_scene=scene,
+                             image_hw=(24, 32))
+        s = ds[0]
+        # gt stored target->source; dataset must invert
+        np.testing.assert_allclose(s["gt_trans"], np.linalg.inv(T), atol=1e-5)
+
+
+class TestKITTI:
+    def test_pair_npz(self, tmp_path, rng):
+        d = tmp_path / "fcgf_train"
+        os.makedirs(d, exist_ok=True)
+        xyz0 = rng.rand(150, 3).astype(np.float32) * 10
+        feat = rng.randn(150, 16).astype(np.float32)
+        feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [1.0, 0, 0]
+        xyz1 = xyz0 + [1.0, 0, 0]
+        np.savez(d / "pair_0.npz", xyz0=xyz0, xyz1=xyz1, features0=feat,
+                 features1=feat, p_image=rng.rand(30, 40, 3).astype(np.float32),
+                 q_image=rng.rand(30, 40, 3).astype(np.float32),
+                 gt_trans=np.linalg.inv(T).astype(np.float32))
+        ds = KITTIDataset(root=str(tmp_path), split="train", num_node=100,
+                          use_mutual=False, image_hw=(24, 32))
+        s = ds[0]
+        assert s["corr_pos"].shape[1] == 6
+        assert s["p_image"].shape == (24, 32, 3)
+
+
+class TestConfig:
+    def test_json_roundtrip(self, tmp_path):
+        cfg = pointdsc_kitti()
+        path = str(tmp_path / "cfg.json")
+        cfg.to_json(path)
+        cfg2 = GMFConfig.from_json(path)
+        assert cfg2.model.inlier_threshold == 1.2
+        assert cfg2.re_thre == 5.0
+        assert cfg2.dataset == "Kitti"
