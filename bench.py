@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CI smoke)")
+    ap.add_argument("--fused", action="store_true",
+                    help="Pallas compat-flash attention path")
     args = ap.parse_args()
 
     import jax
@@ -47,10 +49,11 @@ def main():
     from gmf_tpu.models import PointDSC
 
     if args.tiny:
-        model = PointDSC(num_layers=2, num_channels=32, k=10)
+        model = PointDSC(num_layers=2, num_channels=32, k=10,
+                         fused_attention=args.fused)
         image_hw = (24, 32)
     else:
-        model = PointDSC()  # reference config
+        model = PointDSC(fused_attention=args.fused)  # reference config
         image_hw = (120, 160)
 
     rng = np.random.RandomState(0)

@@ -1,0 +1,112 @@
+"""Classical outlier-rejection baselines under the same eval harness.
+
+Parity: GMF_PointDSC/baseline_scripts/baseline_3DMatch.py /
+baseline_KITTI.py — SM (spectral matching :19-54), PMC (max-clique
+:56-78), RANSAC (:80-100), GC-RANSAC (:101-125, gated: needs the external
+pygcransac wheel, absent here as in any clean environment).
+
+All JAX except PMC's clique search (native C++, cpp/pmc) and the edge-list
+construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmf_tpu.geometry.kabsch import rigid_transform_3d
+from gmf_tpu.geometry.ransac import ransac_registration
+from gmf_tpu.geometry.spectral import leading_eigenvector_fixed
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def sm_register(corr_pos, src_keypts, tgt_keypts, inlier_threshold: float,
+                top_ratio: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
+    """Spectral matching baseline (ref :19-54): polynomial compatibility
+    max(0, 4.5 - d^2 / (2 sigma^2)) with sigma = tau/3, 10 power-iteration
+    steps, top-10% of the eigenvector as inliers, eig-weighted Kabsch."""
+    corr = jnp.asarray(corr_pos)
+    diff = corr[:, None, :] - corr[None, :, :]
+    M = (jnp.linalg.norm(diff[:, :, 0:3], axis=-1)
+         - jnp.linalg.norm(diff[:, :, 3:6], axis=-1))
+    sigma = inlier_threshold / 3.0
+    M = jnp.maximum(0.0, 4.5 - M ** 2 / (2 * sigma ** 2))
+    M = M * (1.0 - jnp.eye(M.shape[0], dtype=M.dtype))
+
+    eig = leading_eigenvector_fixed(M[None], num_iters=10)[0]
+    k = max(int(len(eig) * top_ratio), 1)
+    top = jnp.argsort(-eig)[:k]
+    labels = jnp.zeros_like(eig).at[top].set(1.0)
+    trans = rigid_transform_3d(
+        jnp.asarray(src_keypts)[None], jnp.asarray(tgt_keypts)[None],
+        (eig * labels)[None])[0]
+    return np.asarray(trans), np.asarray(labels)
+
+
+def pmc_register(corr_pos, src_keypts, tgt_keypts,
+                 inlier_threshold: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Max-clique baseline (ref :56-78): consistency graph with edges where
+    |len_src - len_tgt| difference of squared sums < tau, maximum clique
+    via the native solver, uniform-weight Kabsch on the clique."""
+    from gmf_tpu.utils.max_clique import pmc
+
+    corr = np.asarray(corr_pos)
+    n = len(corr)
+    # |d_src^2 - d_tgt^2| consistency (the reference compares squared sums)
+    s = corr[:, 0:3]
+    t = corr[:, 3:6]
+    ds = ((s[:, None] - s[None]) ** 2).sum(-1)
+    dt = ((t[:, None] - t[None]) ** 2).sum(-1)
+    ok = np.abs(ds - dt) < inlier_threshold
+    np.fill_diagonal(ok, False)
+    ei, ej = np.where(np.triu(ok, 1))
+    clique = pmc(ei.astype(np.int32), ej.astype(np.int32), n, len(ei))
+    labels = np.zeros(n, np.float32)
+    labels[clique] = 1.0
+    trans = rigid_transform_3d(
+        jnp.asarray(src_keypts)[None], jnp.asarray(tgt_keypts)[None],
+        jnp.asarray(labels)[None])[0]
+    return np.asarray(trans), labels
+
+
+def ransac_register(src_keypts, tgt_keypts, inlier_threshold: float,
+                    max_iteration: int = 5000, seed: int = 0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """RANSAC-on-correspondences baseline (ref :80-100)."""
+    T, inliers, _ = ransac_registration(
+        jax.random.PRNGKey(seed), jnp.asarray(src_keypts),
+        jnp.asarray(tgt_keypts), inlier_threshold=inlier_threshold,
+        num_iters=max_iteration)
+    return np.asarray(T), np.asarray(inliers).astype(np.float32)
+
+
+def make_baseline_register_fn(method: str, inlier_threshold: float = 0.10,
+                              max_iteration: int = 5000):
+    """Harness-compatible register_fn for a named baseline."""
+    method = method.upper()
+
+    def register(pair: Dict[str, np.ndarray]):
+        if method == "SM":
+            return sm_register(pair["corr_pos"], pair["src_keypts"],
+                               pair["tgt_keypts"], inlier_threshold)
+        if method == "PMC":
+            return pmc_register(pair["corr_pos"], pair["src_keypts"],
+                                pair["tgt_keypts"], inlier_threshold)
+        if method == "RANSAC":
+            return ransac_register(pair["src_keypts"], pair["tgt_keypts"],
+                                   inlier_threshold, max_iteration)
+        if method == "GCRANSAC":
+            try:
+                import pygcransac  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "GC-RANSAC needs the external pygcransac wheel "
+                    "(unavailable, as in the reference's default env)"
+                ) from e
+        raise ValueError(f"unknown baseline {method!r}")
+
+    return register

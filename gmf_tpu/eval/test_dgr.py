@@ -1,0 +1,103 @@
+"""DGR+GMF end-to-end evaluation CLI (raw clouds -> register()).
+
+Parity: GMF_DGR_fcgf/scripts/test_3dmatch.py / test_kitti.py — per pair
+``dgr.register(xyz0, xyz1, p_image, q_image)`` with RTE/RRE success
+(rte_rre :103-111), inlier stats, per-scene aggregation; stats saved as
+.npy. KITTI uses TE_THRESH=0.6 m (scripts/test_kitti.py).
+
+Usage:
+  python -m gmf_tpu.eval.test_dgr --root /data/threedmatch_test \\
+      --fcgf-checkpoint ckpt_fcgf --inlier-checkpoint ckpt_inlier \\
+      [--dataset 3dmatch|kitti] [--use-icp]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--fcgf-checkpoint", required=True)
+    ap.add_argument("--inlier-checkpoint", required=True)
+    ap.add_argument("--dataset", default="3dmatch",
+                    choices=["3dmatch", "kitti"])
+    ap.add_argument("--voxel", type=float, default=None)
+    ap.add_argument("--use-icp", action="store_true")
+    ap.add_argument("--out", default="eval_dgr")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("evaldgr")
+
+    import jax
+
+    from gmf_tpu.configs.presets import dgr_3dmatch, dgr_kitti
+    from gmf_tpu.data.threedmatch import SCENE_LIST, load_gt_log
+    from gmf_tpu.data.ply import read_ply
+    from gmf_tpu.data.imageio import load_image
+    from gmf_tpu.models.dgr import DGRConfig, DeepGlobalRegistration
+    from gmf_tpu.sparse.resunet import FCGFNet, GMFInlierNet
+    from gmf_tpu.utils.checkpoint import load_checkpoint
+
+    tcfg = dgr_kitti() if args.dataset == "kitti" else dgr_3dmatch()
+    voxel = args.voxel or tcfg.voxel_size
+    rte_thresh = 0.6 if args.dataset == "kitti" else 0.3
+    rre_thresh = 5.0 if args.dataset == "kitti" else 15.0
+
+    fcgf_state, _ = load_checkpoint(args.fcgf_checkpoint)
+    inlier_state, _ = load_checkpoint(args.inlier_checkpoint)
+    engine = DeepGlobalRegistration(
+        jax.tree.map(np.asarray, fcgf_state),
+        jax.tree.map(np.asarray, inlier_state),
+        DGRConfig(voxel_size=voxel, use_icp=args.use_icp,
+                  clip_weight_thresh=tcfg.clip_weight_thresh),
+        fcgf_model=FCGFNet(conv1_kernel_size=tcfg.feat_conv1_kernel_size),
+        inlier_model=GMFInlierNet(
+            conv1_kernel_size=tcfg.inlier_conv1_kernel_size))
+
+    rows = []
+    if args.dataset == "3dmatch":
+        for si, scene in enumerate(SCENE_LIST):
+            gt = load_gt_log(os.path.join(args.root, scene))
+            for key, T_gt_ts in gt.items():
+                i, j = key.split("_")
+                base = os.path.join(args.root, scene, "seq-01")
+                xyz0 = read_ply(os.path.join(base, f"cloud_bin_{i}.ply"))["xyz"]
+                xyz1 = read_ply(os.path.join(base, f"cloud_bin_{j}.ply"))["xyz"]
+                p_img = load_image(os.path.join(base, f"cloud_bin_{i}_0.png"))[None]
+                q_img = load_image(os.path.join(base, f"cloud_bin_{j}_0.png"))[None]
+                T_gt = np.linalg.inv(T_gt_ts)
+                res = engine.register(xyz0, xyz1, p_img, q_img)
+                T = res["trans"]
+                tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
+                rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+                rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
+                ok = (rte < rte_thresh) and (rre < rre_thresh)
+                rows.append([float(ok), rre, rte, si,
+                             float(res["used_safeguard"])])
+                log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
+                         f"rre={rre:.2f} rte={rte:.3f}")
+    else:
+        raise SystemExit("kitti raw-cloud eval needs the velodyne layout; "
+                         "use gmf_tpu.eval.test_kitti for the "
+                         "precomputed-pair protocol")
+
+    stats = np.asarray(rows)
+    recall = stats[:, 0].mean() * 100
+    ok = stats[stats[:, 0] == 1]
+    log.info(f"All {len(stats)} pairs, recall={recall:.2f}% "
+             f"rre={ok[:, 1].mean() if len(ok) else float('nan'):.2f} "
+             f"rte={ok[:, 2].mean() if len(ok) else float('nan'):.3f} "
+             f"safeguard used {stats[:, 4].mean() * 100:.1f}%")
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "dgr_stats.npy"), stats)
+
+
+if __name__ == "__main__":
+    main()

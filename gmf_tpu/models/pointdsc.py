@@ -56,12 +56,15 @@ class NonLocalBlock(nn.Module):
 
     num_channels: int = 128
     num_heads: int = 1
+    sigma_d: float = 0.10
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, attention, image_feat, train: bool = False,
-                 corr_mask=None):
-        """feat [B,N,C], attention [B,N,N], image_feat [B,T,C] -> [B,N,C]."""
+                 corr_mask=None, src_keypts=None, tgt_keypts=None,
+                 fused: bool = False):
+        """feat [B,N,C], attention [B,N,N] (or None when fused),
+        image_feat [B,T,C] -> [B,N,C]."""
         B, N, C = feat.shape
         h = self.num_heads
         dh = C // h
@@ -72,20 +75,38 @@ class NonLocalBlock(nn.Module):
                      dtype=self.dtype)(feat)
         v = nn.Dense(C, kernel_init=_xavier, name="projection_v",
                      dtype=self.dtype)(feat)
-        q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
 
-        # Logits scaled by sqrt(dh) then multiplied elementwise by the
-        # spatial-consistency matrix BEFORE softmax (ref :60-62) — this is
-        # the defining trick of PointDSC's NonLocal block.
-        logits = jnp.einsum("bhic,bhjc->bhij", q, k) / (dh ** 0.5)
-        logits = attention[:, None, :, :] * logits
-        if corr_mask is not None:
-            logits = jnp.where(corr_mask[:, None, None, :] > 0, logits, -1e9)
-        weight = jax.nn.softmax(logits, axis=-1)
-        message = jnp.einsum("bhij,bhjc->bhic", weight, v)
-        message = message.transpose(0, 2, 1, 3).reshape(B, N, C)
+        if fused:
+            # Pallas flash kernel: streams K/V blocks and rebuilds the
+            # spatial-consistency matrix on the fly — never materializes
+            # the [N, N] tensors (ops/fused_attention.py).
+            assert h == 1, "fused path supports the reference's 1-head case"
+            from gmf_tpu.ops.fused_attention import compat_flash_attention
+
+            interpret = jax.default_backend() == "cpu"
+            mask_b = (jnp.ones((B, N), q.dtype) if corr_mask is None
+                      else corr_mask)
+            message = jax.vmap(
+                lambda qq, kk, vv, ss, tt, mm: compat_flash_attention(
+                    qq, kk, vv, ss, tt, mask=mm, sigma_d=self.sigma_d,
+                    interpret=interpret)
+            )(q, k, v, src_keypts, tgt_keypts, mask_b)
+        else:
+            q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+
+            # Logits scaled by sqrt(dh) then multiplied elementwise by the
+            # spatial-consistency matrix BEFORE softmax (ref :60-62) — this
+            # is the defining trick of PointDSC's NonLocal block.
+            logits = jnp.einsum("bhic,bhjc->bhij", q, k) / (dh ** 0.5)
+            logits = attention[:, None, :, :] * logits
+            if corr_mask is not None:
+                logits = jnp.where(corr_mask[:, None, None, :] > 0, logits,
+                                   -1e9)
+            weight = jax.nn.softmax(logits, axis=-1)
+            message = jnp.einsum("bhij,bhjc->bhic", weight, v)
+            message = message.transpose(0, 2, 1, 3).reshape(B, N, C)
 
         # fc_message MLP: C -> C/2 -> C/2 -> C with BN+ReLU (ref :13-21).
         m = nn.Dense(C // 2, kernel_init=_xavier, name="fc_message_0",
@@ -123,11 +144,13 @@ class NonLocalNet(nn.Module):
     in_dim: int = 6
     num_layers: int = 12
     num_channels: int = 128
+    sigma_d: float = 0.10
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, corr_feat, corr_compatibility, p_image, q_image,
-                 train: bool = False, corr_mask=None):
+                 train: bool = False, corr_mask=None, src_keypts=None,
+                 tgt_keypts=None, fused: bool = False):
         """corr_feat [B,N,6], compat [B,N,N], images [B,H,W,3] -> [B,N,C]."""
         C = self.num_channels
 
@@ -158,9 +181,11 @@ class NonLocalNet(nn.Module):
                                 dtype=self.dtype)(feat)
             feat = nn.relu(feat)
             feat = NonLocalBlock(
-                num_channels=C, name=f"NonLocal_layer_{i}", dtype=self.dtype,
+                num_channels=C, sigma_d=self.sigma_d,
+                name=f"NonLocal_layer_{i}", dtype=self.dtype,
             )(feat, corr_compatibility, image_feat, train=train,
-              corr_mask=corr_mask)
+              corr_mask=corr_mask, src_keypts=src_keypts,
+              tgt_keypts=tgt_keypts, fused=fused)
         return feat
 
 
@@ -182,6 +207,7 @@ class PointDSC(nn.Module):
     k: int = 40                    # seed-neighborhood size
     nms_radius: float = 0.10
     kabsch_method: str = "quat"
+    fused_attention: bool = False  # Pallas flash path (eval, large N)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,25 +232,34 @@ class PointDSC(nn.Module):
         sigma = self.param("sigma", lambda _: jnp.ones((1,), self.dtype))
         sigma_spat = jnp.asarray(self.sigma_d, self.dtype)
 
+        fused = self.fused_attention and not train
         # Step 1: spatial-consistency matrix (no_grad in ref :216-221).
+        # The fused Pallas path rebuilds it blockwise inside the attention
+        # kernel instead of materializing [N, N] here.
         src_dist = jnp.linalg.norm(
             src_keypts[:, :, None, :] - src_keypts[:, None, :, :], axis=-1
         )
-        tgt_dist = jnp.linalg.norm(
-            tgt_keypts[:, :, None, :] - tgt_keypts[:, None, :, :], axis=-1
-        )
-        corr_compatibility = src_dist - tgt_dist
-        corr_compatibility = jnp.clip(
-            1.0 - corr_compatibility ** 2 / sigma_spat ** 2, 0.0, None
-        )
-        corr_compatibility = jax.lax.stop_gradient(corr_compatibility)
         src_dist = jax.lax.stop_gradient(src_dist)
+        if fused:
+            corr_compatibility = None
+        else:
+            tgt_dist = jnp.linalg.norm(
+                tgt_keypts[:, :, None, :] - tgt_keypts[:, None, :, :],
+                axis=-1
+            )
+            corr_compatibility = src_dist - tgt_dist
+            corr_compatibility = jnp.clip(
+                1.0 - corr_compatibility ** 2 / sigma_spat ** 2, 0.0, None
+            )
+            corr_compatibility = jax.lax.stop_gradient(corr_compatibility)
 
         corr_features = NonLocalNet(
             in_dim=self.in_dim, num_layers=self.num_layers,
-            num_channels=self.num_channels, name="encoder", dtype=self.dtype,
+            num_channels=self.num_channels, sigma_d=self.sigma_d,
+            name="encoder", dtype=self.dtype,
         )(corr_pos, corr_compatibility, p_image, q_image, train=train,
-          corr_mask=corr_mask)
+          corr_mask=corr_mask, src_keypts=src_keypts, tgt_keypts=tgt_keypts,
+          fused=fused)
         # sqrt(sum+eps) keeps the normalization gradient finite even for
         # all-zero feature rows (NaN-free training; see spectral._safe_norm).
         normed_corr_features = corr_features / jnp.sqrt(

@@ -1,0 +1,207 @@
+"""WeightedProcrustesTrainer: DGR+GMF training loop.
+
+Parity: GMF_DGR_fcgf/core/trainer.py:38-699 —
+- frozen FCGF descriptor net + trainable GMF 6D inlier net (:162-164)
+- per pair: FCGF fwd x2 -> 1-NN pairs -> hash-based correctness labels
+  (generate_inlier_input :644-678) -> 6D sparse fwd with images
+  (:217-229) -> non-inplace weight clip (:232-238) -> weighted
+  Procrustes (:241-245) -> loss = procrustes_w * (rot_err +
+  trans_w * trans_err)[ws > 10].mean() + inlier_w * BCE (:246-269)
+- non-finite-loss skip (:259-262) and NaN-gradient zero-out (:292-300)
+- SGD(momentum) + per-epoch ExpLR; gradient accumulation via iter_size.
+
+TPU-first: pairs are processed as independent jitted pair-steps whose
+gradients accumulate on device (the reference's iter_size semantics);
+each pair's sparse pyramids are host-built with bucketed capacities.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gmf_tpu.configs.presets import DGRTrainConfig
+from gmf_tpu.data.dgr_loader import find_correct_correspondence
+from gmf_tpu.geometry.kabsch import kabsch_quat
+from gmf_tpu.geometry.knn import nearest_neighbor
+from gmf_tpu.sparse.kernel_map import build_pyramid
+from gmf_tpu.sparse.resunet import pyramid_to_arrays
+from gmf_tpu.sparse.voxelize import sparse_quantize
+from gmf_tpu.train.losses import balanced_bce_loss
+
+
+class WeightedProcrustesTrainer:
+    def __init__(self, fcgf_model, fcgf_vars, inlier_model, inlier_vars,
+                 config: Optional[DGRTrainConfig] = None,
+                 voxel_cap_granule: int = 512, corr_cap_granule: int = 512,
+                 steps_per_epoch: int = 100):
+        self.cfg = config or DGRTrainConfig()
+        self.fcgf = fcgf_model
+        self.fcgf_vars = fcgf_vars          # frozen (ref :163)
+        self.inlier = inlier_model
+        self.inlier_params = inlier_vars["params"]
+        self.inlier_bstats = inlier_vars.get("batch_stats", {})
+        self.voxel_cap_granule = voxel_cap_granule
+        self.corr_cap_granule = corr_cap_granule
+
+        schedule = optax.exponential_decay(
+            self.cfg.lr, max(steps_per_epoch, 1), self.cfg.exp_gamma,
+            staircase=True)
+        if self.cfg.optimizer == "SGD":
+            self.optimizer = optax.chain(
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.sgd(schedule, momentum=self.cfg.momentum))
+        else:
+            self.optimizer = optax.chain(
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.adam(schedule))
+        self.opt_state = self.optimizer.init(self.inlier_params)
+
+        self._fcgf_apply = jax.jit(lambda v, f, p: self.fcgf.apply(v, f, p))
+        self._pair_grads = jax.jit(self._pair_grads_fn)
+
+    # ------------------------------------------------------------------
+
+    def generate_inlier_input(self, pair: Dict[str, np.ndarray]):
+        """FCGF features, 1-NN pairs and correctness labels (ref :644-678)."""
+        feats = []
+        for key_c, key_p in (("coords0", "pcd0"), ("coords1", "pcd1")):
+            coords = pair[key_c]
+            pyr = build_pyramid(coords, 4,
+                                conv1_kernel_size=self.cfg.feat_conv1_kernel_size,
+                                granule=self.voxel_cap_granule)
+            arrays = pyramid_to_arrays(pyr)
+            f = jnp.ones((pyr.levels[0].cap, 1), jnp.float32)
+            out = self._fcgf_apply(self.fcgf_vars, f, arrays)
+            feats.append(np.asarray(out)[: len(coords)])
+        F0, F1 = feats
+        nn01, _ = nearest_neighbor(jnp.asarray(F0), jnp.asarray(F1),
+                                   chunk=1024)
+        nn01 = np.asarray(nn01)
+        pred_pairs = np.stack([np.arange(len(F0)), nn01], axis=1)
+        hash_seed = max(len(F0), len(F1))
+        is_correct = find_correct_correspondence(
+            pair["correspondences"], pred_pairs, hash_seed)
+        return pred_pairs, is_correct.astype(np.float32)
+
+    def _pair_grads_fn(self, params, bstats, feats, pyramid, p_img, q_img,
+                       src, tgt, corr_mask, is_correct, T_gt, inverse_map):
+        """Loss + grads for ONE pair (static shapes from the host)."""
+        cfg = self.cfg
+
+        def loss_fn(p):
+            logits_vox, mutated = self.inlier.apply(
+                {"params": p, "batch_stats": bstats},
+                feats, pyramid, p_image=p_img, q_image=q_img, train=True,
+                mutable=["batch_stats"])
+            logits = logits_vox[inverse_map, 0]  # voxel -> correspondence
+            weights = jax.nn.sigmoid(logits) * corr_mask
+            # non-inplace clip (ref :232-238)
+            weights = jnp.where(weights > cfg.clip_weight_thresh, weights, 0.0)
+
+            T_pred = kabsch_quat(src[None], tgt[None], weights[None])[0]
+            ws = jnp.sum(weights)
+            tr = jnp.einsum("ij,ij->", T_pred[:3, :3], T_gt[:3, :3])
+            rot_err = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1 + 1e-7,
+                                          1 - 1e-7))
+            trans_err = jnp.linalg.norm(T_pred[:3, 3] - T_gt[:3, 3])
+            individual = rot_err + cfg.trans_weight * trans_err
+            valid = (ws > 10).astype(jnp.float32)  # ref :252-254
+            procrustes_loss = cfg.procrustes_loss_weight * individual * valid
+
+            inlier_loss = cfg.inlier_weight * balanced_bce_loss(
+                logits, is_correct, mask=corr_mask)
+            loss = procrustes_loss + inlier_loss
+            metrics = {
+                "loss": loss, "rot_err_deg": jnp.degrees(rot_err),
+                "trans_err": trans_err, "ws": ws, "valid": valid,
+                "inlier_loss": inlier_loss,
+                "success": ((trans_err < cfg.success_rte_thresh)
+                            & (jnp.degrees(rot_err) < cfg.success_rre_thresh)
+                            ).astype(jnp.float32),
+            }
+            return loss, (metrics, mutated["batch_stats"])
+
+        grads, (metrics, new_bstats) = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, metrics, new_bstats
+
+    def train_pair(self, pair: Dict[str, np.ndarray]):
+        """Host prep + jitted grads for one pair."""
+        pred_pairs, is_correct = self.generate_inlier_input(pair)
+        corr6d = np.concatenate(
+            [pair["coords0"][pred_pairs[:, 0]],
+             pair["coords1"][pred_pairs[:, 1]]], axis=1)
+        uniq, first, inverse = sparse_quantize(
+            corr6d.astype(np.float64), 1.0, return_index=True,
+            return_inverse=True)
+        pyr = build_pyramid(uniq, 4,
+                            conv1_kernel_size=self.cfg.inlier_conv1_kernel_size,
+                            granule=self.corr_cap_granule)
+        arrays = pyramid_to_arrays(pyr)
+        cap = pyr.levels[0].cap
+        feats = jnp.ones((cap, 1), jnp.float32)
+
+        n = len(pred_pairs)
+        cap_corr = -(-n // self.corr_cap_granule) * self.corr_cap_granule
+        inv = np.full(cap_corr, cap - 1, np.int32)  # padded -> any voxel
+        inv[:n] = inverse
+        mask = np.zeros(cap_corr, np.float32)
+        mask[:n] = 1.0
+        corr_ok = np.zeros(cap_corr, np.float32)
+        corr_ok[:n] = is_correct
+        src = np.zeros((cap_corr, 3), np.float32)
+        tgt = np.zeros((cap_corr, 3), np.float32)
+        src[:n] = pair["pcd0"][pred_pairs[:, 0]]
+        tgt[:n] = pair["pcd1"][pred_pairs[:, 1]]
+
+        grads, metrics, new_bstats = self._pair_grads(
+            self.inlier_params, self.inlier_bstats, feats, arrays,
+            jnp.asarray(pair["p_image"])[None],
+            jnp.asarray(pair["q_image"])[None],
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+            jnp.asarray(corr_ok), jnp.asarray(pair["T_gt"]),
+            jnp.asarray(inv))
+        self.inlier_bstats = new_bstats
+        return grads, {k: float(v) for k, v in metrics.items()}
+
+    def train_step(self, pairs: Iterable[Dict[str, np.ndarray]]):
+        """Accumulate gradients over a batch of pairs, then one update.
+
+        Reproduces the reference's non-finite-loss skip and NaN-grad
+        zero-out (:259-262, :292-300).
+        """
+        acc = None
+        count = 0
+        agg: Dict[str, float] = {}
+        for pair in pairs:
+            grads, metrics = self.train_pair(pair)
+            if not np.isfinite(metrics["loss"]):
+                continue  # ref :259-262
+            acc = grads if acc is None else jax.tree.map(
+                jnp.add, acc, grads)
+            count += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + v
+        if count == 0:
+            return {"skipped": 1.0}
+        acc = jax.tree.map(lambda g: g / count, acc)
+
+        finite = all(bool(jnp.all(jnp.isfinite(g)))
+                     for g in jax.tree.leaves(acc))
+        if finite:
+            updates, self.opt_state = self.optimizer.update(
+                acc, self.opt_state, self.inlier_params)
+            self.inlier_params = optax.apply_updates(
+                self.inlier_params, updates)
+        out = {k: v / count for k, v in agg.items()}
+        out["skipped"] = 0.0 if finite else 1.0
+        return out
+
+    def inlier_variables(self):
+        return {"params": self.inlier_params,
+                "batch_stats": self.inlier_bstats}

@@ -293,13 +293,27 @@ class Trainer:
         return self.history
 
     def save(self, path: str):
-        """Snapshot params+batch_stats+config (ref :272-277 + config.json)."""
+        """Snapshot params+batch_stats+config (ref :272-277 + config.json).
+
+        The embedded config carries the MODEL hyperparameters too, so
+        evaluation can rebuild the network from the checkpoint alone (the
+        reference's eval-reads-ckpt-config contract,
+        deep_global_registration.py:111-116)."""
         from gmf_tpu.utils.checkpoint import save_checkpoint
 
+        model_fields = {}
+        for f in getattr(type(self.model), "__dataclass_fields__", {}):
+            if f in ("parent", "name", "dtype"):
+                continue
+            v = getattr(self.model, f, None)
+            if isinstance(v, (int, float, str, bool)):
+                model_fields[f] = v
+        config = dataclasses.asdict(self.cfg)
+        config["model"] = model_fields
         save_checkpoint(path, {
             "params": self.params,
             "batch_stats": self.batch_stats,
-        }, config=dataclasses.asdict(self.cfg))
+        }, config=config)
 
     def load(self, path: str):
         from gmf_tpu.utils.checkpoint import load_checkpoint

@@ -26,19 +26,11 @@ def load_pointdsc(path: str, inlier_threshold: float = 0.10,
         from gmf_tpu.utils.checkpoint import load_checkpoint
 
         state, config = load_checkpoint(path)
-        model_kw = {}
+        valid = {f for f in PointDSC.__dataclass_fields__
+                 if f not in ("parent", "name", "dtype")}
         if config and "model" in config:
-            m = config["model"]
-            model_kw = dict(
-                num_layers=int(m.get("num_layers", num_layers)),
-                num_channels=int(m.get("num_channels", num_channels)),
-                inlier_threshold=float(m.get("inlier_threshold",
-                                             inlier_threshold)),
-                sigma_d=float(m.get("sigma_d", 0.10)),
-                k=int(m.get("k", 40)),
-                ratio=float(m.get("ratio", 0.1)),
-                nms_radius=float(m.get("nms_radius", 0.10)),
-            )
+            model_kw = {k: v for k, v in config["model"].items()
+                        if k in valid}
         else:
             model_kw = dict(num_layers=num_layers,
                             num_channels=num_channels,

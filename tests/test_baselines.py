@@ -1,0 +1,48 @@
+"""Baseline method tests: SM / PMC / RANSAC must solve easy problems."""
+
+import numpy as np
+import pytest
+
+from gmf_tpu.eval.baselines import make_baseline_register_fn
+
+
+def make_pair(rng, N=200, inlier_ratio=0.5):
+    ang = 0.6
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, 0.1, -0.2], np.float32)
+    src = rng.rand(N, 3).astype(np.float32) * 2
+    tgt = src @ R.T + t + 0.004 * rng.randn(N, 3).astype(np.float32)
+    n_out = int(N * (1 - inlier_ratio))
+    idx = rng.choice(N, n_out, replace=False)
+    tgt[idx] = rng.rand(n_out, 3) * 2
+    corr_pos = np.concatenate([src - src.mean(0), tgt - tgt.mean(0)], -1)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3], T_gt[:3, 3] = R, t
+    return {
+        "corr_pos": corr_pos.astype(np.float32),
+        "src_keypts": src, "tgt_keypts": tgt,
+        "gt_trans": T_gt, "labels": np.ones(N, np.float32),
+    }, T_gt
+
+
+@pytest.mark.parametrize("method,atol_r,atol_t", [
+    ("SM", 0.05, 0.05),
+    ("PMC", 0.02, 0.03),
+    ("RANSAC", 0.02, 0.03),
+])
+def test_baseline_registers(rng, method, atol_r, atol_t):
+    pair, T_gt = make_pair(rng)
+    fn = make_baseline_register_fn(method, inlier_threshold=0.10,
+                                   max_iteration=2048)
+    trans, labels = fn(pair)
+    np.testing.assert_allclose(trans[:3, :3], T_gt[:3, :3], atol=atol_r)
+    np.testing.assert_allclose(trans[:3, 3], T_gt[:3, 3], atol=atol_t)
+    assert labels.sum() >= 3
+
+
+def test_gcransac_gated(rng):
+    pair, _ = make_pair(rng, N=50)
+    fn = make_baseline_register_fn("GCRANSAC")
+    with pytest.raises((NotImplementedError, ImportError)):
+        fn(pair)
