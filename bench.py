@@ -40,7 +40,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

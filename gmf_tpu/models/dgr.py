@@ -136,6 +136,8 @@ class DGRConfig:
     corr_cap_granule: int = 2048
     nn_chunk: int = 2048
     image_hw: Tuple[int, int] = (120, 160)
+    descriptor: str = "fcgf"   # 'fpfh' swaps in JAX FPFH (fpfh variant,
+                               # GMF_DGR_fpfh core/deep_global_registration.py:173-198)
 
 
 class DeepGlobalRegistration:
@@ -168,6 +170,20 @@ class DeepGlobalRegistration:
         """Voxelize a cloud (ref :157-185). Returns (coords, sel_idx)."""
         coords, sel = sparse_quantize(xyz, self.config.voxel_size)
         return coords, sel
+
+    def descriptor_features(self, coords: np.ndarray, pts=None):
+        """Descriptor extraction on one voxelized cloud (ref :187-195;
+        fpfh variant :173-198)."""
+        if self.config.descriptor == "fpfh":
+            import jax.numpy as _jnp
+
+            from gmf_tpu.ops.fpfh import compute_fpfh
+
+            vs = self.config.voxel_size
+            return np.asarray(compute_fpfh(
+                _jnp.asarray(pts), normal_radius=2 * vs,
+                feature_radius=5 * vs))
+        return self.fcgf_features(coords)
 
     def fcgf_features(self, coords: np.ndarray):
         """FCGF descriptor extraction on one voxelized cloud (ref :187-195)."""
@@ -232,8 +248,8 @@ class DeepGlobalRegistration:
         pts0 = np.asarray(xyz0)[sel0]
         pts1 = np.asarray(xyz1)[sel1]
 
-        F0 = self.fcgf_features(coords0)
-        F1 = self.fcgf_features(coords1)
+        F0 = self.descriptor_features(coords0, pts0)
+        F1 = self.descriptor_features(coords1, pts1)
         nn01 = self.feature_matching(F0, F1)
 
         corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)

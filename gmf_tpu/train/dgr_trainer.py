@@ -39,8 +39,11 @@ class WeightedProcrustesTrainer:
     def __init__(self, fcgf_model, fcgf_vars, inlier_model, inlier_vars,
                  config: Optional[DGRTrainConfig] = None,
                  voxel_cap_granule: int = 512, corr_cap_granule: int = 512,
-                 steps_per_epoch: int = 100):
+                 steps_per_epoch: int = 100, descriptor: str = "fcgf"):
+        """descriptor='fpfh' swaps the frozen FCGF extraction for JAX FPFH
+        (the fpfh-variant deltas, GMF_DGR_fpfh core/trainer.py:659-697)."""
         self.cfg = config or DGRTrainConfig()
+        self.descriptor = descriptor
         self.fcgf = fcgf_model
         self.fcgf_vars = fcgf_vars          # frozen (ref :163)
         self.inlier = inlier_model
@@ -68,9 +71,19 @@ class WeightedProcrustesTrainer:
     # ------------------------------------------------------------------
 
     def generate_inlier_input(self, pair: Dict[str, np.ndarray]):
-        """FCGF features, 1-NN pairs and correctness labels (ref :644-678)."""
+        """Descriptor features, 1-NN pairs and correctness labels
+        (ref :644-678; fpfh variant :659-697)."""
         feats = []
         for key_c, key_p in (("coords0", "pcd0"), ("coords1", "pcd1")):
+            if self.descriptor == "fpfh":
+                from gmf_tpu.ops.fpfh import compute_fpfh
+
+                vs = self.cfg.voxel_size
+                out = compute_fpfh(
+                    jnp.asarray(pair[key_p]), normal_radius=2 * vs,
+                    feature_radius=5 * vs)
+                feats.append(np.asarray(out))
+                continue
             coords = pair[key_c]
             pyr = build_pyramid(coords, 4,
                                 conv1_kernel_size=self.cfg.feat_conv1_kernel_size,

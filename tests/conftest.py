@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the model graphs are compile-heavy on CPU;
 # caching makes repeated test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

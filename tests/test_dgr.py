@@ -133,3 +133,15 @@ class TestDGREngine:
         T = engine.safeguard_registration(src, tgt)
         np.testing.assert_allclose(T[:3, :3], R, atol=2e-2)
         np.testing.assert_allclose(T[:3, 3], t, atol=3e-2)
+
+
+class TestFPFHVariant:
+    def test_register_with_fpfh_descriptor(self, rng):
+        """The fpfh-variant deltas (SURVEY §2.4): descriptor swap only."""
+        engine = tiny_engine()
+        engine.config.descriptor = "fpfh"
+        xyz0 = rng.rand(200, 3).astype(np.float32)
+        xyz1 = xyz0 + np.array([0.05, 0, 0], np.float32)
+        img = np.zeros((1, 16, 16, 3), np.float32)
+        res = engine.register(xyz0, xyz1, img, img)
+        assert np.all(np.isfinite(res["trans"]))
