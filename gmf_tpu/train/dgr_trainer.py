@@ -215,6 +215,72 @@ class WeightedProcrustesTrainer:
         out["skipped"] = 0.0 if finite else 1.0
         return out
 
+    def validate(self, pairs: Iterable[Dict[str, np.ndarray]]):
+        """Validation pass: hit-ratio, P/R/F1, RTE/RRE, success rate.
+
+        Parity: core/trainer.py _valid_epoch :360-503 (same metric set,
+        computed with the current inlier net, no updates).
+        """
+        from gmf_tpu.models.dgr import se3_refine
+
+        agg: Dict[str, float] = {}
+        count = 0
+        for pair in pairs:
+            pred_pairs, is_correct = self.generate_inlier_input(pair)
+            # hit ratio: fraction of NN matches that are GT-correct
+            hit_ratio = float(is_correct.mean()) if len(is_correct) else 0.0
+
+            corr6d = np.concatenate(
+                [pair["coords0"][pred_pairs[:, 0]],
+                 pair["coords1"][pred_pairs[:, 1]]], axis=1)
+            uniq, _, inverse = sparse_quantize(
+                corr6d.astype(np.float64), 1.0, return_index=True,
+                return_inverse=True)
+            pyr = build_pyramid(
+                uniq, 4, conv1_kernel_size=self.cfg.inlier_conv1_kernel_size,
+                granule=self.corr_cap_granule)
+            arrays = pyramid_to_arrays(pyr)
+            feats = jnp.ones((pyr.levels[0].cap, 1), jnp.float32)
+            logits_vox = self.inlier.apply(
+                {"params": self.inlier_params,
+                 "batch_stats": self.inlier_bstats},
+                feats, arrays, p_image=jnp.asarray(pair["p_image"])[None],
+                q_image=jnp.asarray(pair["q_image"])[None])
+            logits = np.asarray(logits_vox)[inverse, 0]
+            weights = 1.0 / (1.0 + np.exp(-logits))
+            weights = np.where(weights < self.cfg.clip_weight_thresh, 0.0,
+                               weights)
+
+            src = pair["pcd0"][pred_pairs[:, 0]]
+            tgt = pair["pcd1"][pred_pairs[:, 1]]
+            T0 = np.asarray(kabsch_quat(
+                jnp.asarray(src)[None], jnp.asarray(tgt)[None],
+                jnp.asarray(weights)[None]))[0]
+            T, _, _ = se3_refine(jnp.asarray(src), jnp.asarray(tgt),
+                                 jnp.asarray(weights), jnp.asarray(T0),
+                                 max_iter=200)
+            T = np.asarray(T)
+            T_gt = pair["T_gt"]
+            tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
+            rre = float(np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1))))
+            rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
+
+            pred = logits > 0
+            tp = float((pred & (is_correct > 0)).sum())
+            precision = tp / max(pred.sum(), 1)
+            recall = tp / max((is_correct > 0).sum(), 1)
+            f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+            stats = {
+                "hit_ratio": hit_ratio, "precision": precision,
+                "recall": recall, "f1": f1, "rte": rte, "rre": rre,
+                "success": float((rte < self.cfg.success_rte_thresh)
+                                 and (rre < self.cfg.success_rre_thresh)),
+            }
+            count += 1
+            for k, v in stats.items():
+                agg[k] = agg.get(k, 0.0) + v
+        return {k: v / max(count, 1) for k, v in agg.items()}
+
     def inlier_variables(self):
         return {"params": self.inlier_params,
                 "batch_stats": self.inlier_bstats}

@@ -84,3 +84,19 @@ class TestDGRTrainer:
             m = trainer.train_step([pair])
             losses.append(m["inlier_loss"])
         assert losses[-1] < losses[0] * 1.2, losses
+
+
+class TestDGRValidate:
+    def test_validation_metrics(self, rng):
+        fcgf, fv, inlier, iv = tiny_nets(7)
+        cfg = DGRTrainConfig()
+        trainer = WeightedProcrustesTrainer(
+            fcgf, fv, inlier, iv, cfg,
+            voxel_cap_granule=256, corr_cap_granule=256)
+        pairs = [make_dgr_pair(rng, n_points=250, voxel_size=0.08,
+                               image_hw=(16, 16))]
+        m = trainer.validate(pairs)
+        for key in ("hit_ratio", "precision", "recall", "f1", "rte", "rre",
+                    "success"):
+            assert key in m and np.isfinite(m[key]), (key, m)
+        assert 0.0 <= m["hit_ratio"] <= 1.0
