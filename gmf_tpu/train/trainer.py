@@ -210,12 +210,17 @@ class Trainer:
     """
 
     def __init__(self, model, cfg: TrainConfig, train_loader, val_loader,
-                 rng_seed: int = 0, mesh=None, steps_per_epoch: Optional[int] = None):
+                 rng_seed: int = 0, mesh=None,
+                 steps_per_epoch: Optional[int] = None,
+                 tboard_dir: Optional[str] = None):
+        from gmf_tpu.utils.logging_utils import MetricsLogger
+
         self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = MetricsLogger(tboard_dir)
 
         sample = next(iter(train_loader))
         variables = model.init(
@@ -277,11 +282,14 @@ class Trainer:
         best_recall = -1.0
         res = self.evaluate()
         self.history.append(("eval", 0, res))
+        self.logger.log(res, 0, "Val")
         for epoch in range(self.cfg.max_epoch):
             train_res = self.train_epoch(epoch + 1)
             self.history.append(("train", epoch + 1, train_res))
+            self.logger.log(train_res, epoch + 1, "Train")
             res = self.evaluate()
             self.history.append(("eval", epoch + 1, res))
+            self.logger.log(res, epoch + 1, "Val")
             if snapshot:
                 if res["reg_recall"] > best_recall:
                     best_recall = res["reg_recall"]
