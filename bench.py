@@ -35,6 +35,8 @@ def main():
                     help="tiny model (CI smoke)")
     ap.add_argument("--fused", action="store_true",
                     help="Pallas compat-flash attention path")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 module compute (halves N^2 HBM traffic)")
     args = ap.parse_args()
 
     import jax
@@ -48,12 +50,13 @@ def main():
     from gmf_tpu.data import make_correspondence_problem
     from gmf_tpu.models import PointDSC
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.tiny:
         model = PointDSC(num_layers=2, num_channels=32, k=10,
-                         fused_attention=args.fused)
+                         fused_attention=args.fused, dtype=dtype)
         image_hw = (24, 32)
     else:
-        model = PointDSC(fused_attention=args.fused)  # reference config
+        model = PointDSC(fused_attention=args.fused, dtype=dtype)
         image_hw = (120, 160)
 
     rng = np.random.RandomState(0)

@@ -45,6 +45,38 @@ def get_matching_indices(source: np.ndarray, target: np.ndarray,
     return np.asarray(pairs, np.int64).reshape(-1, 2)
 
 
+def compute_overlap_ratio(pcd0: np.ndarray, pcd1: np.ndarray,
+                          trans: np.ndarray, voxel_size: float) -> float:
+    """Fraction of points with a match within voxel_size, symmetric min.
+
+    Parity: GMF_DGR util/pointcloud.py:72-80.
+    """
+    m01 = get_matching_indices(pcd0, pcd1, trans, voxel_size)
+    m10 = get_matching_indices(pcd1, pcd0,
+                               np.linalg.inv(trans), voxel_size)
+    r01 = len(np.unique(m01[:, 0])) / max(len(pcd0), 1)
+    r10 = len(np.unique(m10[:, 0])) / max(len(pcd1), 1)
+    return min(r01, r10)
+
+
+def feature_hit_ratio(F0: np.ndarray, F1: np.ndarray, pcd0: np.ndarray,
+                      pcd1: np.ndarray, trans: np.ndarray,
+                      thresh: float) -> float:
+    """Fraction of 1-NN feature matches that are geometrically correct.
+
+    Parity: GMF_DGR util/pointcloud.py:99-130 (valid_feat_ratio /
+    evaluate_feature_3dmatch).
+    """
+    import jax.numpy as jnp
+
+    from gmf_tpu.geometry.knn import nearest_neighbor
+
+    nn01, _ = nearest_neighbor(jnp.asarray(F0), jnp.asarray(F1), chunk=1024)
+    warped = pcd0 @ trans[:3, :3].T + trans[:3, 3]
+    d = np.linalg.norm(warped - pcd1[np.asarray(nn01)], axis=1)
+    return float((d < thresh).mean())
+
+
 def hash_pairs(pairs: np.ndarray, hash_seed: int) -> np.ndarray:
     """int64 pair hash i * seed + j (core/correspondence.py:14-27)."""
     return pairs[:, 0].astype(np.int64) * hash_seed + pairs[:, 1]

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--no-mutual", dest="use_mutual", action="store_false")
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--solver", default="SVD", choices=["SVD", "RANSAC"])
+    ap.add_argument("--fused", action="store_true",
+                    help="Pallas flash-attention path (large num_node)")
     ap.add_argument("--re-thre", type=float, default=15.0)
     ap.add_argument("--te-thre", type=float, default=30.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.10)
@@ -54,6 +56,8 @@ def main():
 
     model, variables = load_pointdsc(args.checkpoint,
                                      inlier_threshold=args.inlier_threshold)
+    if args.fused:
+        model = model.replace(fused_attention=True)
     registrar = PointDSCRegistrar(model, variables)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--use-mutual", action="store_true", default=False)
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--solver", default="SVD", choices=["SVD", "RANSAC"])
+    ap.add_argument("--fused", action="store_true",
+                    help="Pallas flash-attention path (large num_node)")
     ap.add_argument("--re-thre", type=float, default=5.0)
     ap.add_argument("--te-thre", type=float, default=60.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.60)
@@ -44,6 +46,8 @@ def main():
 
     # KITTI model: inlier/sigma 1.2 (config_Kitti.py)
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
+    if args.fused:
+        model = model.replace(fused_attention=True)
     registrar = PointDSCRegistrar(model, variables)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,

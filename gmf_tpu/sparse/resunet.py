@@ -92,14 +92,19 @@ class SparseResUNet2(nn.Module):
     normalize_feature: bool = False
     with_gmf_fusion: bool = False
     image_dim: int = 128
+    region: str = "hypercube"   # "hypercross" for the *X model variants
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, pyramid: Dict[str, jnp.ndarray],
                  p_image=None, q_image=None, train: bool = False):
         """feats: [cap0, in_channels]; pyramid: pyramid_to_arrays output."""
-        KV = 3 ** self.dim            # full kernel volume for k=3
-        KV1 = self.conv1_kernel_size ** self.dim
+        if self.region == "hypercube":
+            KV = 3 ** self.dim            # full kernel volume for k=3
+            KV1 = self.conv1_kernel_size ** self.dim
+        else:  # hypercross: center + 2r per axis
+            KV = 1 + 2 * self.dim
+            KV1 = 1 + (self.conv1_kernel_size // 2) * 2 * self.dim
         C = self.channels
         TR = self.tr_channels
         m = [pyramid[f"mask_{l}"] for l in range(4)]
