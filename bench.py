@@ -37,6 +37,8 @@ def main():
                     help="Pallas compat-flash attention path")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 module compute (halves N^2 HBM traffic)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure training steps/sec instead of inference")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +72,35 @@ def main():
         jax.random.PRNGKey(0), arrs["corr_pos"], arrs["src_keypts"],
         arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"],
     )
+
+    if args.train:
+        from gmf_tpu.train.trainer import (
+            TrainConfig, make_optimizer, make_train_step,
+        )
+
+        cfg = TrainConfig()
+        opt = make_optimizer(cfg, 100)
+        opt_state = opt.init(variables["params"])
+        step = jax.jit(make_train_step(model, opt, cfg))
+        params, bstats = variables["params"], variables["batch_stats"]
+        for _ in range(args.warmup):
+            params, bstats, opt_state, m = step(params, bstats, opt_state,
+                                                arrs, jnp.asarray(1))
+            jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            params, bstats, opt_state, m = step(params, bstats, opt_state,
+                                                arrs, jnp.asarray(1))
+            jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        pairs_per_sec = args.batch * args.iters / dt
+        print(json.dumps({
+            "metric": "training_pairs_per_sec",
+            "value": round(pairs_per_sec, 3),
+            "unit": "pairs/s",
+            "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        }))
+        return
 
     @jax.jit
     def register(variables, corr_pos, src, tgt, p_img, q_img):

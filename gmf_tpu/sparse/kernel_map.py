@@ -85,7 +85,8 @@ def _lookup(keys_sorted: np.ndarray, order: np.ndarray,
     """Vectorized hash-free lookup: original index of each query key, or
     sentinel when absent."""
     pos = np.searchsorted(keys_sorted, query_keys)
-    pos = np.clip(pos, 0, len(keys_sorted) - 1)
+    # searchsorted never returns < 0; only the upper bound needs clamping
+    np.minimum(pos, len(keys_sorted) - 1, out=pos)
     hit = keys_sorted[pos] == query_keys
     idx = np.where(hit, order[pos], sentinel)
     return idx.astype(np.int32)
@@ -132,14 +133,21 @@ def build_kernel_map(in_coords: np.ndarray, out_coords: np.ndarray,
 
     K = len(offsets)
     M = len(out_coords)
-    nbr = np.empty((K, M), np.int32)
-    for k in range(K):  # K is small & static (27 / 729); queries vectorized
-        qc = qbase + offsets[k].astype(np.int64)
-        # Out-of-range components would alias into other rows after
-        # linearization — mask them to the sentinel explicitly.
-        in_range = np.all((qc >= 0) & (qc < span), axis=1)
-        idx = _lookup(keys_sorted, order, qc @ strides, sentinel)
-        nbr[k] = np.where(in_range, idx, sentinel)
+    D = in_coords.shape[1]
+    # One batched lookup over all K*M queries (the per-offset loop was the
+    # host bottleneck at 6-D: 729 x searchsorted). Keys are composed from
+    # [M] base keys + [K] offset keys; the per-dim range check uses scalar
+    # interval comparisons against [M] columns (no [K, M, D] int64 blowup).
+    off64 = offsets.astype(np.int64)
+    qkeys = (qbase @ strides)[None, :] + (off64 @ strides)[:, None]  # [K, M]
+    in_range = np.ones((K, M), bool)
+    for d in range(D):
+        col = qbase[:, d]  # [M]
+        lo = -off64[:, d:d + 1]              # [K, 1]
+        hi = span[d] - off64[:, d:d + 1]
+        in_range &= (col[None, :] >= lo) & (col[None, :] < hi)
+    idx = _lookup(keys_sorted, order, qkeys.ravel(), sentinel)
+    nbr = np.where(in_range, idx.reshape(K, M), sentinel).astype(np.int32)
 
     kept = np.arange(K, dtype=np.int32)
     if prune_empty:
