@@ -13,6 +13,7 @@ from typing import Callable, Dict
 from gmf_tpu.models.oanet import OANet
 from gmf_tpu.models.pointdsc import PointDSC
 from gmf_tpu.sparse.resunet import SparseResUNet2
+from gmf_tpu.sparse.simpleunet import SimpleSparseUNet
 
 
 def _resunet(channels, tr_channels, region="hypercube"):
@@ -34,6 +35,11 @@ MODELS: Dict[str, Callable] = {
     "ResUNetBN2C": _resunet((32, 64, 128, 256), (64, 64, 64, 128)),
     "ResUNetBN2CX": _resunet((32, 64, 128, 256), (64, 64, 64, 128),
                              region="hypercross"),
+    # SimpleNet zoo (model/simpleunet.py): 3-level UNet, no residuals
+    "SimpleNetBN": lambda **kw: SimpleSparseUNet(
+        channels=(32, 64, 128), tr_channels=(32, 64, 64), **kw),
+    "SimpleNetBN2C": lambda **kw: SimpleSparseUNet(
+        channels=(32, 64, 128), tr_channels=(64, 64, 64), **kw),
     # correspondence encoders
     "PointDSC": PointDSC,
     "OANet": OANet,

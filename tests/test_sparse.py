@@ -159,3 +159,48 @@ class TestResUNet:
             out = model.apply(variables, feats, arrays)
             outs.append(np.asarray(out)[: len(coords)])
         np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+
+class TestSimpleNet:
+    def test_forward(self, rng):
+        from gmf_tpu.sparse.simpleunet import SimpleSparseUNet
+
+        coords = np.unique(rng.randint(0, 16, (150, 3)).astype(np.int32),
+                           axis=0)
+        pyr = build_pyramid(coords, 4, conv1_kernel_size=3, granule=64)
+        arrays = pyramid_to_arrays(pyr)
+        model = SimpleSparseUNet(in_channels=1, out_channels=8,
+                                 channels=(4, 8, 16), tr_channels=(4, 8, 8),
+                                 normalize_feature=True)
+        feats = jnp.ones((pyr.levels[0].cap, 1))
+        v = model.init(jax.random.PRNGKey(0), feats, arrays)
+        out = model.apply(v, feats, arrays)
+        n = pyr.levels[0].num_valid
+        norms = np.linalg.norm(np.asarray(out)[:n], axis=-1)
+        # a few ReLU-dead rows may stay zero under random init; the rest
+        # must be unit-normalized (safe-eps normalization keeps zeros zero)
+        live = norms > 1e-6
+        assert live.mean() > 0.9
+        np.testing.assert_allclose(norms[live], 1.0, atol=1e-3)
+
+
+class TestTransforms:
+    def test_sample_random_trans_centers(self, rng):
+        from gmf_tpu.data.transforms import sample_random_trans
+
+        pts = rng.rand(100, 3) * 5 + 3
+        T = sample_random_trans(pts, rng)
+        warped = pts @ T[:3, :3].T + T[:3, 3]
+        np.testing.assert_allclose(warped.mean(0), 0.0, atol=1e-10)
+
+    def test_jitter_and_compose(self, rng):
+        from gmf_tpu.data.transforms import Compose, Jitter, InfSampler
+
+        feats = np.zeros((50, 4))
+        c = Compose([Jitter(sigma=0.01, rng=rng)])
+        _, out = c(None, feats)
+        assert out.std() > 0
+        it = iter(InfSampler(5, seed=0))
+        first10 = [next(it) for _ in range(10)]
+        assert sorted(first10[:5]) == [0, 1, 2, 3, 4]
+        assert sorted(first10[5:]) == [0, 1, 2, 3, 4]
