@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src"), ap.add_argument("--tgt")
+    ap.add_argument("--src")
+    ap.add_argument("--tgt")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--voxel", type=float, default=0.05)
     ap.add_argument("--num-node", type=int, default=1000)

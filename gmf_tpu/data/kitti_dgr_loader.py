@@ -13,7 +13,6 @@ Calibration: velodyne->camera extrinsics are read from each sequence's
 
 from __future__ import annotations
 
-import glob
 import os
 from typing import Dict, List, Optional, Tuple
 

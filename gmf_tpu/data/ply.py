@@ -9,8 +9,7 @@ extra per-vertex properties like color/normal are returned too).
 
 from __future__ import annotations
 
-import struct
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

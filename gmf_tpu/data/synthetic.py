@@ -10,7 +10,7 @@ configurable inlier ratio, Gaussian noise, uniform outliers.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

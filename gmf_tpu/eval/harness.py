@@ -15,7 +15,7 @@ rollups (ref :156-194).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, Iterable, List
 
 import numpy as np
 

@@ -9,7 +9,6 @@ answer to the reference's per-pair dynamic shapes
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Sequence, Tuple
 
 import jax

@@ -43,15 +43,12 @@ def main():
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("eval3dmatch")
 
-    import jax.numpy as jnp
-
     from gmf_tpu.data.threedmatch import SCENE_LIST, ThreeDMatchTest
     from gmf_tpu.eval.harness import (
         aggregate_scenes, evaluate_pairs, format_report,
     )
     from gmf_tpu.eval.registration import PointDSCRegistrar
     from gmf_tpu.eval.solvers import make_register_fn
-    from gmf_tpu.models import PointDSC
     from gmf_tpu.utils.model_io import load_pointdsc
 
     model, variables = load_pointdsc(args.checkpoint,

@@ -29,8 +29,6 @@ TPU-first deviations (behavior-preserving):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -114,10 +114,7 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
     N, D = q.shape
     bq = min(block_q, N)
     bk = min(block_k, N)
-    pad_q = (-N) % bq
-    pad_k = (-N) % bk
-    Np = N + max(pad_q, pad_k)
-    # one padded size keeps all five arrays aligned
+    # one padded size (lcm-ish: max block) keeps all arrays aligned
     Np = N + ((-N) % max(bq, bk))
 
     def padN(x):

@@ -15,9 +15,6 @@ offsets).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -18,9 +18,8 @@ including the pre-ReLU skip concatenations (resunet_new.py:664-686).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

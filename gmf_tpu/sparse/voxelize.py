@@ -11,8 +11,6 @@ ever sees fixed-capacity padded arrays.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -13,8 +13,6 @@ import argparse
 
 import numpy as np
 
-from gmf_tpu.eval.harness import STAT_COLUMNS
-
 
 def summarize(stats: np.ndarray) -> str:
     ok = stats[stats[:, 0] == 1]

@@ -17,7 +17,6 @@ each pair's sparse pyramids are host-built with bucketed capacities.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Iterable, Optional
 
 import jax

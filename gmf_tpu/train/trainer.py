@@ -18,15 +18,12 @@ sharded on 'data', params replicated; XLA inserts the gradient psum.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
-from flax.core import freeze, unfreeze
 
 from gmf_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from gmf_tpu.train.losses import (
