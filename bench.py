@@ -86,12 +86,12 @@ def main():
         for _ in range(args.warmup):
             params, bstats, opt_state, m = step(params, bstats, opt_state,
                                                 arrs, jnp.asarray(1))
-            jax.block_until_ready(m["loss"])
+            np.asarray(m["loss"])  # host fetch = the only reliable sync here
         t0 = time.perf_counter()
         for _ in range(args.iters):
             params, bstats, opt_state, m = step(params, bstats, opt_state,
                                                 arrs, jnp.asarray(1))
-            jax.block_until_ready(m["loss"])
+            np.asarray(m["loss"])
         dt = time.perf_counter() - t0
         pairs_per_sec = args.batch * args.iters / dt
         print(json.dumps({
@@ -111,14 +111,18 @@ def main():
     fargs = (variables, arrs["corr_pos"], arrs["src_keypts"],
              arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"])
 
+    # NOTE: jax.block_until_ready is unreliable on the tunneled axon
+    # platform (returns before execution completes); a host fetch is the
+    # only trustworthy sync, so pairs/sec below is honest end-to-end
+    # latency including device->host readback of the 4x4 transform.
     for _ in range(args.warmup):
         T, labels = register(*fargs)
-        jax.block_until_ready(T)
+        np.asarray(T)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         T, labels = register(*fargs)
-        jax.block_until_ready(T)
+        np.asarray(T)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = args.batch * args.iters / dt

@@ -44,10 +44,11 @@ def main():
     from gmf_tpu.eval.solvers import make_register_fn
     from gmf_tpu.utils.model_io import load_pointdsc
 
-    # KITTI model: inlier/sigma 1.2 (config_Kitti.py)
+    # KITTI model settings (evaluation/test_KITTI.py:210-219):
+    # inlier/sigma 1.2, nms_radius = inlier_threshold.
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
-    if args.fused:
-        model = model.replace(fused_attention=True)
+    model = model.replace(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
+                          fused_attention=args.fused)
     registrar = PointDSCRegistrar(model, variables)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,

@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from gmf_tpu.geometry.kabsch import rigid_transform_3d
-from gmf_tpu.geometry.knn import knn
 from gmf_tpu.geometry.nms import pick_seeds_nms
 from gmf_tpu.geometry.se3 import transform
 from gmf_tpu.geometry.spectral import (leading_eigenvector,
@@ -330,10 +329,20 @@ class PointDSC(nn.Module):
         k = min(self.k, N - 1)
         sigma_spat = jnp.asarray(self.sigma_d, self.dtype)
 
-        knn_idx = knn(corr_features, k=k, ignore_self=True, normalized=True,
-                      mask=corr_mask)
-        # Gather each seed's neighborhood: [B, S, k].
-        knn_idx = jnp.take_along_axis(knn_idx, seeds[:, :, None], axis=1)
+        # Seed-row kNN. The reference computes kNN for ALL N rows and then
+        # gathers the seed rows (PointDSC.py:327-335); since rows are
+        # independent, restricting the search to the S = N*ratio seed rows
+        # is bit-identical and cuts the top_k cost 10x (TPU top_k over
+        # [B, N, N] dominated the whole forward).
+        seed_feats = jax.vmap(lambda xb, ib: xb[ib])(corr_features, seeds)
+        dist = 2.0 - 2.0 * jnp.einsum(
+            "bsc,bnc->bsn", seed_feats, corr_features, precision=_PREC)
+        if corr_mask is not None:
+            dist = jnp.where(corr_mask[:, None, :] > 0, dist, jnp.inf)
+        # ignore_self via k+1 then dropping the closest (the seed itself),
+        # exactly as the reference's knn(ignore_self=True).
+        _, knn_idx = jax.lax.top_k(-dist, k + 1)
+        knn_idx = knn_idx[..., 1:]
 
         def gather_feat(x, idx):
             # x [B, N, D], idx [B, S, k] -> [B, S, k, D]
