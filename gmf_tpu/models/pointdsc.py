@@ -232,14 +232,16 @@ class PointDSC(nn.Module):
         fused = self.fused_attention and not train
         # Step 1: spatial-consistency matrix (no_grad in ref :216-221).
         # The fused Pallas path rebuilds it blockwise inside the attention
-        # kernel instead of materializing [N, N] here.
-        src_dist = jnp.linalg.norm(
-            src_keypts[:, :, None, :] - src_keypts[:, None, :, :], axis=-1
-        )
-        src_dist = jax.lax.stop_gradient(src_dist)
+        # kernel (and the NMS kernel) instead of materializing any [N, N]
+        # tensor here.
         if fused:
+            src_dist = None
             corr_compatibility = None
         else:
+            src_dist = jax.lax.stop_gradient(jnp.linalg.norm(
+                src_keypts[:, :, None, :] - src_keypts[:, None, :, :],
+                axis=-1
+            ))
             tgt_dist = jnp.linalg.norm(
                 tgt_keypts[:, :, None, :] - tgt_keypts[:, None, :, :],
                 axis=-1
@@ -287,8 +289,17 @@ class PointDSC(nn.Module):
 
         num_seeds = max(int(N * self.ratio), 1)
         if testing:
-            seeds = pick_seeds_nms(src_dist, jax.lax.stop_gradient(confidence),
-                                   self.nms_radius, num_seeds, mask=corr_mask)
+            conf_sg = jax.lax.stop_gradient(confidence)
+            if fused:
+                from gmf_tpu.ops.fused_nms import pick_seeds_nms_fused
+
+                seeds = pick_seeds_nms_fused(
+                    src_keypts, conf_sg, self.nms_radius, num_seeds,
+                    mask=corr_mask,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                seeds = pick_seeds_nms(src_dist, conf_sg, self.nms_radius,
+                                       num_seeds, mask=corr_mask)
         else:
             ranked = confidence if corr_mask is None else jnp.where(
                 corr_mask > 0, confidence, -jnp.inf
