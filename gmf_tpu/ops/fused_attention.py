@@ -123,7 +123,10 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
     qp, kp, vp = padN(q), padN(k), padN(v)
     sp = jnp.pad(src_keypts, ((0, Np - N), (0, 125)))  # 3 -> 128 lanes
     tp = jnp.pad(tgt_keypts, ((0, Np - N), (0, 125)))
-    m = jnp.ones((N,), q.dtype) if mask is None else mask.astype(q.dtype)
+    # mask stays f32 regardless of activation dtype (Mosaic cannot lower
+    # bf16 comparisons against literals on all generations)
+    m = (jnp.ones((N,), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
     mp = jnp.pad(m, (0, Np - N)).reshape(1, Np)
 
     nq_blocks = Np // bq
