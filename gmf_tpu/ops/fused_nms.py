@@ -55,11 +55,12 @@ def nms_local_max(src_keypts, scores, radius: float, block_q: int = 512,
     N = src_keypts.shape[0]
     bq, bk = min(block_q, N), min(block_k, N)
     Np = N + ((-N) % max(bq, bk))
-    # pad keypoints far away and scores at +inf so padded entries never
-    # suppress anyone and are themselves suppressed-irrelevant
-    sp = jnp.pad(src_keypts, ((0, Np - N), (0, 125)))
+    # everything f32 in-kernel (Mosaic can't lower bf16 compares) and pad
+    # keypoints far away / scores at -inf so padded entries are inert
+    sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     sp = sp.at[N:, 0].set(1e6)
-    sc = jnp.pad(scores, (0, Np - N), constant_values=-jnp.inf)
+    sc = jnp.pad(scores.astype(jnp.float32), (0, Np - N),
+                 constant_values=-jnp.inf)
 
     out = pl.pallas_call(
         functools.partial(_kernel, radius_sq=float(radius) ** 2,
