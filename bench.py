@@ -33,8 +33,11 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CI smoke)")
-    ap.add_argument("--fused", action="store_true",
-                    help="Pallas compat-flash attention path")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="Pallas compat-flash attention + NMS path "
+                         "(default on: fastest, equivalence-tested; "
+                         "--no-fused for the dense XLA path)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 module compute (halves N^2 HBM traffic)")
     ap.add_argument("--train", action="store_true",
