@@ -34,10 +34,11 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CI smoke)")
     ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=None,
                     help="Pallas compat-flash attention + NMS path "
-                         "(default on: fastest, equivalence-tested; "
-                         "--no-fused for the dense XLA path)")
+                         "(default: on for TPU, off for CPU where the "
+                         "kernels run interpreted; --no-fused forces the "
+                         "dense XLA path)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 module compute (halves N^2 HBM traffic)")
     ap.add_argument("--train", action="store_true",
@@ -50,6 +51,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.fused is None:
+        args.fused = jax.default_backend() != "cpu"
     import jax.numpy as jnp
 
     from gmf_tpu.data import make_correspondence_problem
@@ -113,6 +116,25 @@ def main():
 
     fargs = (variables, arrs["corr_pos"], arrs["src_keypts"],
              arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"])
+
+    if args.fused:
+        # safety: if the Pallas path fails on this hardware, fall back to
+        # the dense XLA path rather than recording nothing
+        try:
+            T, labels = register(*fargs)
+            np.asarray(T)
+        except Exception as e:  # pragma: no cover
+            import sys
+
+            print(f"fused path failed ({type(e).__name__}); "
+                  "falling back to dense", file=sys.stderr)
+            model = model.replace(fused_attention=False)
+
+            @jax.jit
+            def register(variables, corr_pos, src, tgt, p_img, q_img):
+                out = model.apply(variables, corr_pos, src, tgt, p_img,
+                                  q_img, testing=True)
+                return out["final_trans"], out["final_labels"]
 
     # NOTE: jax.block_until_ready is unreliable on the tunneled axon
     # platform (returns before execution completes); a host fetch is the
