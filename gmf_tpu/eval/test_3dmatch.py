@@ -31,8 +31,10 @@ def main():
     ap.add_argument("--no-mutual", dest="use_mutual", action="store_false")
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--solver", default="SVD", choices=["SVD", "RANSAC"])
-    ap.add_argument("--fused", action="store_true",
-                    help="Pallas flash-attention path (large num_node)")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="Pallas flash-attention + NMS path (default: on "
+                         "for TPU, off for CPU)")
     ap.add_argument("--re-thre", type=float, default=15.0)
     ap.add_argument("--te-thre", type=float, default=30.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.10)
@@ -51,6 +53,10 @@ def main():
     from gmf_tpu.eval.solvers import make_register_fn
     from gmf_tpu.utils.model_io import load_pointdsc
 
+    import jax
+
+    if args.fused is None:
+        args.fused = jax.default_backend() != "cpu"
     model, variables = load_pointdsc(args.checkpoint,
                                      inlier_threshold=args.inlier_threshold)
     if args.fused:

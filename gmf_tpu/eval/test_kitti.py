@@ -25,8 +25,10 @@ def main():
     ap.add_argument("--use-mutual", action="store_true", default=False)
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--solver", default="SVD", choices=["SVD", "RANSAC"])
-    ap.add_argument("--fused", action="store_true",
-                    help="Pallas flash-attention path (large num_node)")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="Pallas flash-attention + NMS path (default: on "
+                         "for TPU, off for CPU)")
     ap.add_argument("--re-thre", type=float, default=5.0)
     ap.add_argument("--te-thre", type=float, default=60.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.60)
@@ -44,6 +46,10 @@ def main():
     from gmf_tpu.eval.solvers import make_register_fn
     from gmf_tpu.utils.model_io import load_pointdsc
 
+    import jax
+
+    if args.fused is None:
+        args.fused = jax.default_backend() != "cpu"
     # KITTI model settings (evaluation/test_KITTI.py:210-219):
     # inlier/sigma 1.2, nms_radius = inlier_threshold.
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
