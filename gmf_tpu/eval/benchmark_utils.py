@@ -117,3 +117,38 @@ def evaluate_registration_rmse(est_pairs: Dict[Tuple[int, int], np.ndarray],
         if err <= err_thresh:
             good += 1
     return good / max(total, 1)
+
+
+def read_gt_info(path: str):
+    """Read a 3DMatch/PREDATOR ``gt.info`` file: per-pair 6x6 information
+    matrices keyed by (i, j) (benchmark_utils_predator.py trajectory-info
+    IO)."""
+    out = {}
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    i = 0
+    while i + 6 < len(lines) or (i + 6 == len(lines) and len(lines) >= 7):
+        head = lines[i].split()
+        key = (int(head[0]), int(head[1]))
+        mat = np.array([[float(x) for x in lines[i + r].split()]
+                        for r in range(1, 7)])
+        out[key] = mat
+        i += 7
+    return out
+
+
+def read_gt_pairs(path: str):
+    """Read a ``gt.log`` into {(i, j): 4x4} (same block format as
+    trajectories; keys are the header's first two ints)."""
+    out = {}
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    i = 0
+    while i + 4 < len(lines) or (i + 4 == len(lines) and len(lines) >= 5):
+        head = lines[i].split()
+        key = (int(head[0]), int(head[1]))
+        mat = np.array([[float(x) for x in lines[i + r].split()]
+                        for r in range(1, 5)])
+        out[key] = mat
+        i += 5
+    return out

@@ -72,3 +72,27 @@ class TestMetricsLogger:
         # tensorboard event file written (tensorboardX available here)
         assert any(f.startswith("events") for f in
                    os.listdir(tmp_path / "logs"))
+
+
+class TestGtInfoIO:
+    def test_read_gt_info_and_pairs(self, tmp_path):
+        from gmf_tpu.eval.benchmark_utils import read_gt_info, read_gt_pairs
+
+        info_path = tmp_path / "gt.info"
+        with open(info_path, "w") as f:
+            f.write("0 2 10\n")
+            for r in range(6):
+                row = ["1.0" if c == r else "0.0" for c in range(6)]
+                f.write(" ".join(row) + "\n")
+        info = read_gt_info(str(info_path))
+        assert (0, 2) in info
+        np.testing.assert_allclose(info[(0, 2)], np.eye(6))
+
+        log_path = tmp_path / "gt.log"
+        with open(log_path, "w") as f:
+            f.write("1 3 10\n")
+            for r in range(4):
+                row = ["1.0" if c == r else "0.0" for c in range(4)]
+                f.write(" ".join(row) + "\n")
+        pairs = read_gt_pairs(str(log_path))
+        np.testing.assert_allclose(pairs[(1, 3)], np.eye(4))
