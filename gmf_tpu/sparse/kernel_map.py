@@ -23,10 +23,53 @@ Stride/lattice conventions follow MinkowskiEngine:
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import subprocess
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_builder():
+    """Load (building on first use) the C++ kernel-map library.
+
+    The NumPy path below is the bottleneck on weak hosts (K x M int64
+    searchsorted); cpp/kernelmap is a hash-table + OpenMP rewrite of the
+    same lookup. Falls back silently when no compiler is available.
+    """
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    try:
+        from numpy.ctypeslib import ndpointer
+
+        src_dir = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "..", "cpp", "kernelmap"))
+        so_path = os.path.join(src_dir, "libgmfkmap.so")
+        src_path = os.path.join(src_dir, "kernel_map.cpp")
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src_path)):
+            subprocess.run(["make", "-C", src_dir], check=True,
+                           capture_output=True)
+        lib = ctypes.cdll.LoadLibrary(so_path)
+        lib.build_kernel_map.restype = ctypes.c_int
+        lib.build_kernel_map.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+            ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+            ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+            ndpointer(ctypes.c_int32, flags="C_CONTIGUOUS"),
+        ]
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
 
 
 def hypercube_offsets(kernel_size: int, dim: int,
@@ -113,6 +156,25 @@ def build_kernel_map(in_coords: np.ndarray, out_coords: np.ndarray,
         K = len(offsets)
         return (np.full((K, len(out_coords)), sentinel, np.int32),
                 np.arange(K, dtype=np.int32))
+
+    lib = _native_builder()
+    if lib is not None and in_valid is None:
+        nbr = np.empty((len(offsets), len(out_coords)), np.int32)
+        rc = lib.build_kernel_map(
+            len(in_coords), len(out_coords), in_coords.shape[1],
+            len(offsets),
+            np.ascontiguousarray(in_coords, np.int32),
+            np.ascontiguousarray(out_coords, np.int32),
+            np.ascontiguousarray(offsets, np.int32), nbr)
+        if rc == 0:
+            kept = np.arange(len(offsets), dtype=np.int32)
+            if prune_empty:
+                nonempty = (nbr != sentinel).any(axis=1)
+                nonempty |= np.arange(len(offsets)) == len(offsets) // 2
+                nbr = nbr[nonempty]
+                kept = kept[nonempty]
+            return nbr, kept
+        # rc != 0: extent cannot pack into int64 — NumPy fallback below
 
     # Pack input and all query coords in one shared frame so keys align.
     all_min = np.minimum(in_coords.min(0), out_coords.min(0) + offsets.min(0))
