@@ -1,0 +1,14 @@
+# Build all native components (auto-built on first use by their ctypes
+# shims; this target just builds them eagerly).
+.PHONY: native clean test
+
+native:
+	$(MAKE) -C cpp/pmc
+	$(MAKE) -C cpp/kernelmap
+
+clean:
+	$(MAKE) -C cpp/pmc clean
+	$(MAKE) -C cpp/kernelmap clean
+
+test:
+	python -m pytest tests/ -q
