@@ -138,6 +138,15 @@ class DGRConfig:
     image_hw: Tuple[int, int] = (120, 160)
     descriptor: str = "fcgf"   # 'fpfh' swaps in JAX FPFH (fpfh variant,
                                # GMF_DGR_fpfh core/deep_global_registration.py:173-198)
+    # Build kernel maps on the accelerator (sparse/device_maps.py) instead
+    # of the host; None = auto (on for any non-CPU backend). The host
+    # build is the E2E bottleneck on weak hosts (~230M probes in 6-D).
+    device_kernel_maps: Optional[bool] = None
+
+    def use_device_maps(self) -> bool:
+        if self.device_kernel_maps is not None:
+            return self.device_kernel_maps
+        return jax.default_backend() != "cpu"
 
 
 class DeepGlobalRegistration:
@@ -185,12 +194,27 @@ class DeepGlobalRegistration:
                 feature_radius=5 * vs))
         return self.fcgf_features(coords)
 
+    def _pyramid_arrays(self, coords: np.ndarray, conv1_kernel_size: int,
+                        granule: int):
+        """Kernel-map pyramid as the jittable array dict (host or device
+        builder per config; identical outputs, tests/test_device_pyramid)."""
+        if self.config.use_device_maps():
+            from gmf_tpu.sparse.device_maps import build_pyramid_arrays_device
+
+            return build_pyramid_arrays_device(
+                coords, num_levels=4, conv1_kernel_size=conv1_kernel_size,
+                granule=granule)
+        pyr = build_pyramid(coords, num_levels=4,
+                            conv1_kernel_size=conv1_kernel_size,
+                            granule=granule)
+        return pyramid_to_arrays(pyr)
+
     def fcgf_features(self, coords: np.ndarray):
         """FCGF descriptor extraction on one voxelized cloud (ref :187-195)."""
-        pyr = build_pyramid(coords, num_levels=4, conv1_kernel_size=7,
-                            granule=self.config.voxel_cap_granule)
-        arrays = pyramid_to_arrays(pyr)
-        cap0 = pyr.levels[0].cap
+        arrays = self._pyramid_arrays(
+            coords, conv1_kernel_size=7,
+            granule=self.config.voxel_cap_granule)
+        cap0 = arrays["mask_0"].shape[0]
         feats = jnp.ones((cap0, 1), jnp.float32)
         out = self._fcgf_apply(self.fcgf_vars, feats, arrays)
         return np.asarray(out)[: len(coords)]
@@ -214,10 +238,10 @@ class DeepGlobalRegistration:
         uniq, first_idx, inverse = sparse_quantize(
             corr_coords6d.astype(np.float64), 1.0,
             return_index=True, return_inverse=True)
-        pyr = build_pyramid(uniq, num_levels=4, conv1_kernel_size=3,
-                            granule=self.config.corr_cap_granule)
-        arrays = pyramid_to_arrays(pyr)
-        cap0 = pyr.levels[0].cap
+        arrays = self._pyramid_arrays(
+            uniq, conv1_kernel_size=3,
+            granule=self.config.corr_cap_granule)
+        cap0 = arrays["mask_0"].shape[0]
         feats = jnp.ones((cap0, 1), jnp.float32)
         logits = self._inlier_apply(
             self.inlier_vars, feats, arrays, jnp.asarray(p_image),

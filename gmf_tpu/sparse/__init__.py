@@ -7,6 +7,9 @@ The reference depends on MinkowskiEngine (C++/CUDA) for all sparse convs
 - ``kernel_map.py``: host-side kernel-map construction — for every kernel
   offset, a dense [K, M_out] neighbor-index table with a sentinel for
   missing inputs. Static shapes by design; 6-D maps prune empty offsets.
+- ``device_maps.py``: the same kernel-map construction ON DEVICE (sorted
+  int64 keys + vectorized binary search) — the coordinate manager for
+  hosts too weak to probe 6-D maps, and the path that keeps maps in HBM.
 - ``conv.py``      : device-side gather-GEMM-scatter convolution — a
   lax.scan over offset chunks of (gather -> MXU matmul -> accumulate),
   plus masked batch norm for padded voxel sets.
@@ -24,3 +27,7 @@ from gmf_tpu.sparse.kernel_map import (
     build_pyramid,
 )
 from gmf_tpu.sparse.conv import sparse_conv, SparseConv, MaskedBatchNorm
+from gmf_tpu.sparse.device_maps import (
+    device_kernel_map,
+    build_pyramid_arrays_device,
+)

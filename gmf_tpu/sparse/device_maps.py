@@ -1,0 +1,276 @@
+"""Device-side kernel-map construction (TPU-native coordinate manager).
+
+The host builders (kernel_map.py, cpp/kernelmap) probe K x M coordinate
+keys — ~230M probes for a 27k-voxel 6-D pyramid, seconds-to-minutes on
+weak hosts. This module does the same lookup ON DEVICE: coordinates are
+packed into int64 keys (scoped x64; TPU emulates int64 with int32 pairs,
+which is fine — the cost is gathers, not arithmetic), the input keys are
+sorted once, and all K x M queries resolve with one vectorized binary
+search (log2(N) gather rounds). The resulting neighbor tables are born on
+device and feed the gather-GEMM conv without crossing the host boundary.
+
+Memory note: the naive formulation materializes [K, M, D] int64 query
+coords (729 x 28k x 6 x 8B ~ 1 GB in 6-D). We instead compose query keys
+from [M] base keys + [K] offset keys and run the per-dimension range
+check as K x M broadcasts inside a static loop over D, so the largest
+live tensor is [K, M] int64.
+
+Exactness: identical output to kernel_map.build_kernel_map (same kept-
+offset order, same sentinel convention) — tests/test_device_maps.py
+asserts bit-equality against the host builder, and
+tests/test_device_pyramid.py asserts the full pyramid dict matches
+pyramid_to_arrays(build_pyramid(...)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmf_tpu.sparse.kernel_map import (
+    _pad_cap,
+    downsample_coords,
+    hypercross_offsets,
+    hypercube_offsets,
+)
+
+
+# Fibonacci-style multiplicative hash constants (distinct odd 64-bit)
+_HASH_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+_EMPTY_KEY = -(2 ** 62)  # packed query keys are bounded far above this
+
+
+def device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
+                      out_valid_mask, sentinel: int, method: str = "hash"):
+    """Public wrapper: runs the jitted body under a scoped x64 context so
+    the int64 key packing is real (JAX defaults to 32-bit ints)."""
+    with jax.enable_x64():
+        return _device_kernel_map(in_coords, out_coords, offsets,
+                                  in_valid_mask, out_valid_mask,
+                                  sentinel=sentinel, method=method)
+
+
+@partial(jax.jit, static_argnames=("sentinel", "method"))
+def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
+                       out_valid_mask, sentinel: int, method: str = "hash"):
+    """Dense per-offset neighbor table, computed on device.
+
+    Args:
+      in_coords:  [N, D] int32 (padded rows allowed; mask them invalid).
+      out_coords: [M, D] int32.
+      offsets:    [K, D] int32.
+      in_valid_mask: [N] 1/0; invalid rows never match.
+      out_valid_mask: [M] 1/0; invalid rows get all-sentinel columns.
+      sentinel: value for missing neighbors (the padded feature table's
+        zero row index by the engine's convention).
+      method: 'hash' (3-table displacement hash, 3 flat HBM gathers per
+        query; falls back in-graph to the sorted path on the ~never event
+        of an unplaceable key) or 'sort' (binary search, log2(N) gather
+        rounds — measured 4x slower on v5e at 6-D scale).
+
+    Returns nbr [K, M] int32.
+    """
+    N, D = in_coords.shape
+    # joint packing frame (computed on device from the data)
+    big = jnp.int32(1 << 20)
+    in_valid = in_valid_mask > 0
+    out_valid = out_valid_mask > 0
+    lo = jnp.minimum(
+        jnp.min(jnp.where(in_valid[:, None], in_coords, big), axis=0),
+        jnp.min(jnp.where(out_valid[:, None], out_coords, big), axis=0)
+        + jnp.min(offsets, axis=0),
+    ).astype(jnp.int64)
+    hi_in = jnp.max(jnp.where(in_valid[:, None], in_coords, -big), axis=0)
+    spans = jnp.maximum(hi_in.astype(jnp.int64) - lo + 1, 1)   # [D]
+    strides = jnp.concatenate([
+        jnp.cumprod(spans[::-1])[::-1][1:], jnp.ones((1,), jnp.int64)])
+
+    # input keys (invalid rows get an unmatchable key; their pre-mask
+    # packed value may wrap int64 — discarded by the where)
+    keys = jnp.sum((in_coords.astype(jnp.int64) - lo) * strides, axis=-1)
+    keys = jnp.where(in_valid, keys, jnp.int64(2 ** 62))
+
+    # query keys composed from [M] base + [K] offset keys (never [K,M,D])
+    out_rel = out_coords.astype(jnp.int64) - lo                 # [M, D]
+    out_key = jnp.sum(out_rel * strides, axis=-1)               # [M]
+    off64 = offsets.astype(jnp.int64)
+    off_key = jnp.sum(off64 * strides, axis=-1)                 # [K]
+    qkeys = out_key[None, :] + off_key[:, None]                 # [K, M]
+
+    in_range = out_valid[None, :]
+    for d in range(D):  # static tiny loop; per-dim check kills aliasing
+        col = out_rel[:, d]                                     # [M]
+        od = off64[:, d:d + 1]                                  # [K, 1]
+        in_range = in_range & (col[None, :] >= -od) & (
+            col[None, :] < spans[d] - od)
+
+    def sorted_path(_):
+        order = jnp.argsort(keys)
+        keys_s = keys[order]
+        pos = jnp.searchsorted(keys_s, qkeys.ravel()).reshape(qkeys.shape)
+        pos = jnp.minimum(pos, N - 1)
+        hit = (keys_s[pos] == qkeys) & in_range
+        return jnp.where(hit, order[pos].astype(jnp.int32), sentinel)
+
+    if method == "sort":
+        return sorted_path(None)
+
+    # ---- 3-table displacement hash ----------------------------------
+    # Each table has one slot per bucket; an entry packs (key << IB | row)
+    # into one int64 so a probe is ONE flat [K, M] gather + shift-compare
+    # (a [*, slots] bucket layout would lane-pad the minor dim 8 -> 128 on
+    # TPU: 16x the HBM traffic — measured OOM at 6-D scale). Keys losing
+    # a slot race cascade to the next table; the <=2e-6-probability
+    # leftover (and any key too wide to pack with its row id) flips the
+    # in-graph cond to the exact binary-search path.
+    IB = max(int(np.ceil(np.log2(max(N, 2)))), 1)   # row-id bits
+    b = max(int(np.ceil(np.log2(max(8 * N, 16)))), 4)
+    T = 1 << b
+    rows = jnp.arange(N, dtype=jnp.int64)
+    entries = (keys << IB) | rows
+    key_fits = jnp.max(jnp.where(in_valid, keys, 0)) < (
+        jnp.int64(1) << (62 - IB))
+
+    def hash_of(k, mult):
+        u = k.astype(jnp.uint64) * jnp.uint64(mult)
+        return (u >> jnp.uint64(64 - b)).astype(jnp.int32)
+
+    tables = []
+    pending = in_valid
+    for mult in _HASH_MULTS:
+        h = jnp.where(pending, hash_of(keys, mult), T)  # OOB -> drop
+        t = jnp.full((T,), jnp.int64(_EMPTY_KEY)).at[h].set(
+            entries, mode="drop")
+        placed = pending & (t[jnp.minimum(h, T - 1)] == entries)
+        pending = pending & ~placed
+        tables.append(t)
+    overflow = jnp.any(pending) | ~key_fits
+
+    def hash_path(_):
+        hit = jnp.zeros(qkeys.shape, bool)
+        idx = jnp.zeros(qkeys.shape, jnp.int32)
+        for t, mult in zip(tables, _HASH_MULTS):
+            e = t[hash_of(qkeys, mult)]             # [K, M] flat gather
+            h = (e >> IB) == qkeys
+            idx = jnp.where(h & ~hit,
+                            (e & ((1 << IB) - 1)).astype(jnp.int32), idx)
+            hit = hit | h
+        return jnp.where(hit & in_range, idx, sentinel)
+
+    return jax.lax.cond(overflow, sorted_path, hash_path, None)
+
+
+# ---------------------------------------------------------------------------
+# Full pyramid on device (drop-in for pyramid_to_arrays(build_pyramid(...)))
+# ---------------------------------------------------------------------------
+
+
+def _prune_and_pad_device(nbr, cap_in: int, kernel_volume: int,
+                          prune: bool, granule: int = 32):
+    """Device-side equivalent of host prune_empty + _pad_offsets.
+
+    Keeps the same offset order and the same bucket rule
+    (target = min(ceil(K'/granule)*granule, K_full)); padded offset rows
+    read an all-sentinel row (zero contribution) with kept-id 0. Costs one
+    [K]-bool host fetch to pick the kept set (the maps stay on device).
+    """
+    K = nbr.shape[0]
+    if not prune:
+        return nbr, jnp.arange(K, dtype=jnp.int32)
+    nonempty = np.array(jnp.any(nbr != cap_in, axis=1))     # tiny fetch
+    nonempty[kernel_volume // 2] = True                     # keep center
+    kept = np.nonzero(nonempty)[0].astype(np.int32)
+    target = min(-(-len(kept) // granule) * granule, K)
+    rows = np.full((target,), K, np.int32)                  # K = sentinel row
+    rows[: len(kept)] = kept
+    kept_pad = np.zeros((target,), np.int32)
+    kept_pad[: len(kept)] = kept
+    nbr_ext = jnp.concatenate(
+        [nbr, jnp.full((1, nbr.shape[1]), cap_in, jnp.int32)], axis=0)
+    return nbr_ext[jnp.asarray(rows)], jnp.asarray(kept_pad)
+
+
+def build_pyramid_arrays_device(
+        coords: np.ndarray, num_levels: int, conv1_kernel_size: int = 3,
+        dim: Optional[int] = None, region: str = "hypercube",
+        granule: int = 512, caps: Optional[Sequence[int]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Build the jittable pyramid dict with all kernel maps ON DEVICE.
+
+    Drop-in replacement for pyramid_to_arrays(build_pyramid(...)): the
+    host only downsamples coords per level (a cheap sort-unique over <30k
+    rows) and, in high-D, fetches one [K] bool per map to prune empty
+    offsets. The K x M neighbor probing — the 6-D bottleneck (~230M
+    probes) — runs as sorted-key binary search on the accelerator, and
+    the maps are born where the conv consumes them.
+    """
+    dim = dim if dim is not None else coords.shape[1]
+    offs_fn = (hypercube_offsets if region == "hypercube" else
+               hypercross_offsets)
+    prune = dim > 3
+
+    level_coords = [coords.astype(np.int32)]
+    for l in range(1, num_levels):
+        level_coords.append(
+            downsample_coords(level_coords[l - 1], 2, 2 ** (l - 1)))
+
+    n_l, cap_l, cpad_l, mask_l = [], [], [], []
+    for l, c in enumerate(level_coords):
+        n = len(c)
+        cap = caps[l] if caps is not None else _pad_cap(n, granule)
+        c_pad = np.zeros((cap, dim), np.int32)
+        c_pad[:n] = c
+        mask = (np.arange(cap) < n).astype(np.float32)
+        n_l.append(n)
+        cap_l.append(cap)
+        cpad_l.append(jnp.asarray(c_pad))
+        mask_l.append(jnp.asarray(mask))
+
+    def _map(l_in: int, l_out: int, offsets: np.ndarray):
+        nbr = device_kernel_map(
+            cpad_l[l_in], cpad_l[l_out], jnp.asarray(offsets),
+            mask_l[l_in], mask_l[l_out], sentinel=cap_l[l_in])
+        return _prune_and_pad_device(nbr, cap_l[l_in], len(offsets), prune)
+
+    arrays: Dict[str, jnp.ndarray] = {}
+    for l in range(num_levels):
+        arrays[f"mask_{l}"] = mask_l[l]
+        k3 = offs_fn(3, dim, 2 ** l)
+        arrays[f"self_map_{l}"], arrays[f"self_kept_{l}"] = _map(l, l, k3)
+        if l + 1 < num_levels:
+            down, down_kept = _map(l, l + 1, k3)
+            arrays[f"down_map_{l}"] = down
+            arrays[f"down_kept_{l}"] = down_kept
+            # The transpose map is the exact inverse of the forward map:
+            # pair (i_fine, j_coarse) at offset a in `down` is pair
+            # (j_coarse, i_fine) at offset a of the NEGATED offset list —
+            # which is precisely how the host builds it (build_kernel_map
+            # with -k3; same kept set, since a reversed pair exists iff
+            # the forward one does). Deriving by scatter saves one full
+            # K x M probe per level.
+            up = jnp.full((down.shape[0], cap_l[l]), cap_l[l + 1],
+                          jnp.int32)
+            rows = jnp.broadcast_to(
+                jnp.arange(down.shape[0], dtype=jnp.int32)[:, None],
+                down.shape)
+            cols = jnp.broadcast_to(
+                jnp.arange(cap_l[l + 1], dtype=jnp.int32)[None, :],
+                down.shape)
+            # sentinel fine indices (== cap_l[l]) fall out of bounds ->
+            # dropped; padded offset rows are all-sentinel -> no writes.
+            up = up.at[rows, down].set(cols, mode="drop")
+            arrays[f"up_map_{l}"] = up
+            arrays[f"up_kept_{l}"] = down_kept
+    if conv1_kernel_size == 3:
+        # identical offset set at level 0 -> identical map (the 6-D
+        # inlier net's case); skip the most expensive probe of the build
+        arrays["conv1_map"] = arrays["self_map_0"]
+        arrays["conv1_kept"] = arrays["self_kept_0"]
+    else:
+        k1 = offs_fn(conv1_kernel_size, dim, 1)
+        arrays["conv1_map"], arrays["conv1_kept"] = _map(0, 0, k1)
+    return arrays

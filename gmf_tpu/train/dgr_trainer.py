@@ -38,11 +38,16 @@ class WeightedProcrustesTrainer:
     def __init__(self, fcgf_model, fcgf_vars, inlier_model, inlier_vars,
                  config: Optional[DGRTrainConfig] = None,
                  voxel_cap_granule: int = 512, corr_cap_granule: int = 512,
-                 steps_per_epoch: int = 100, descriptor: str = "fcgf"):
+                 steps_per_epoch: int = 100, descriptor: str = "fcgf",
+                 device_maps: Optional[bool] = None):
         """descriptor='fpfh' swaps the frozen FCGF extraction for JAX FPFH
-        (the fpfh-variant deltas, GMF_DGR_fpfh core/trainer.py:659-697)."""
+        (the fpfh-variant deltas, GMF_DGR_fpfh core/trainer.py:659-697).
+        device_maps: build kernel maps on device (sparse/device_maps.py);
+        None = auto (on for non-CPU backends)."""
         self.cfg = config or DGRTrainConfig()
         self.descriptor = descriptor
+        self.device_maps = (jax.default_backend() != "cpu"
+                            if device_maps is None else device_maps)
         self.fcgf = fcgf_model
         self.fcgf_vars = fcgf_vars          # frozen (ref :163)
         self.inlier = inlier_model
@@ -69,6 +74,20 @@ class WeightedProcrustesTrainer:
 
     # ------------------------------------------------------------------
 
+    def _pyramid_arrays(self, coords: np.ndarray, conv1_kernel_size: int,
+                        granule: int):
+        """Kernel-map pyramid as the jittable dict (host or device builder
+        per self.device_maps; identical outputs)."""
+        if self.device_maps:
+            from gmf_tpu.sparse.device_maps import build_pyramid_arrays_device
+
+            return build_pyramid_arrays_device(
+                coords, 4, conv1_kernel_size=conv1_kernel_size,
+                granule=granule)
+        pyr = build_pyramid(coords, 4, conv1_kernel_size=conv1_kernel_size,
+                            granule=granule)
+        return pyramid_to_arrays(pyr)
+
     def generate_inlier_input(self, pair: Dict[str, np.ndarray]):
         """Descriptor features, 1-NN pairs and correctness labels
         (ref :644-678; fpfh variant :659-697)."""
@@ -84,11 +103,10 @@ class WeightedProcrustesTrainer:
                 feats.append(np.asarray(out))
                 continue
             coords = pair[key_c]
-            pyr = build_pyramid(coords, 4,
-                                conv1_kernel_size=self.cfg.feat_conv1_kernel_size,
-                                granule=self.voxel_cap_granule)
-            arrays = pyramid_to_arrays(pyr)
-            f = jnp.ones((pyr.levels[0].cap, 1), jnp.float32)
+            arrays = self._pyramid_arrays(
+                coords, self.cfg.feat_conv1_kernel_size,
+                self.voxel_cap_granule)
+            f = jnp.ones((arrays["mask_0"].shape[0], 1), jnp.float32)
             out = self._fcgf_apply(self.fcgf_vars, f, arrays)
             feats.append(np.asarray(out)[: len(coords)])
         F0, F1 = feats
@@ -151,11 +169,9 @@ class WeightedProcrustesTrainer:
         uniq, first, inverse = sparse_quantize(
             corr6d.astype(np.float64), 1.0, return_index=True,
             return_inverse=True)
-        pyr = build_pyramid(uniq, 4,
-                            conv1_kernel_size=self.cfg.inlier_conv1_kernel_size,
-                            granule=self.corr_cap_granule)
-        arrays = pyramid_to_arrays(pyr)
-        cap = pyr.levels[0].cap
+        arrays = self._pyramid_arrays(
+            uniq, self.cfg.inlier_conv1_kernel_size, self.corr_cap_granule)
+        cap = arrays["mask_0"].shape[0]
         feats = jnp.ones((cap, 1), jnp.float32)
 
         n = len(pred_pairs)
@@ -235,11 +251,10 @@ class WeightedProcrustesTrainer:
             uniq, _, inverse = sparse_quantize(
                 corr6d.astype(np.float64), 1.0, return_index=True,
                 return_inverse=True)
-            pyr = build_pyramid(
-                uniq, 4, conv1_kernel_size=self.cfg.inlier_conv1_kernel_size,
-                granule=self.corr_cap_granule)
-            arrays = pyramid_to_arrays(pyr)
-            feats = jnp.ones((pyr.levels[0].cap, 1), jnp.float32)
+            arrays = self._pyramid_arrays(
+                uniq, self.cfg.inlier_conv1_kernel_size,
+                self.corr_cap_granule)
+            feats = jnp.ones((arrays["mask_0"].shape[0], 1), jnp.float32)
             logits_vox = self.inlier.apply(
                 {"params": self.inlier_params,
                  "batch_stats": self.inlier_bstats},

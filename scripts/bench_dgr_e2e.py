@@ -1,0 +1,150 @@
+"""End-to-end DGR+GMF register() timing (synthetic pair, full-size nets).
+
+Measures the complete inference pipeline of
+GMF_DGR_fcgf/core/deep_global_registration.py:281-410 — voxelize ->
+FCGF features x2 -> 1-NN matching -> 6D inlier net with image fusion ->
+weighted Procrustes + SE(3) refinement — including all host work
+(voxelization, kernel-map construction unless --device-maps on).
+
+Usage:
+  python scripts/bench_dgr_e2e.py --pts 40000 --device-maps on --runs 2
+
+Prints per-stage warm timings and one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pts", type=int, default=40000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--device-maps", choices=["auto", "on", "off"],
+                    default="auto")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="small nets + small pair (smoke)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from gmf_tpu.models.dgr import DGRConfig, DeepGlobalRegistration
+    from gmf_tpu.sparse.kernel_map import build_pyramid
+    from gmf_tpu.sparse.resunet import (
+        FCGFNet, GMFInlierNet, SparseResUNet2, pyramid_to_arrays,
+    )
+
+    print(f"backend: {jax.default_backend()}")
+    dev_maps = {"auto": None, "on": True, "off": False}[args.device_maps]
+
+    if args.tiny:
+        args.pts = 2000
+        cfg = DGRConfig(voxel_size=0.1, voxel_cap_granule=512,
+                        corr_cap_granule=512, image_hw=(16, 16),
+                        device_kernel_maps=dev_maps)
+        fcgf = SparseResUNet2(
+            in_channels=1, out_channels=8, dim=3, conv1_kernel_size=7,
+            normalize_feature=True, channels=(4, 8, 16, 32),
+            tr_channels=(8, 8, 8, 16))
+        inlier = SparseResUNet2(
+            in_channels=1, out_channels=1, dim=6, conv1_kernel_size=3,
+            with_gmf_fusion=True, image_dim=16, channels=(4, 8, 16, 32),
+            tr_channels=(8, 8, 8, 16))
+    else:
+        cfg = DGRConfig(device_kernel_maps=dev_maps)
+        fcgf = FCGFNet(conv1_kernel_size=7)
+        inlier = GMFInlierNet()
+    H, W = cfg.image_hw
+
+    # synthetic pair: uniform box sized so ~0.7 * pts voxels survive
+    rng = np.random.RandomState(0)
+    box = (args.pts * 0.7) ** (1 / 3) * cfg.voxel_size
+    xyz0 = (rng.rand(args.pts, 3) * box).astype(np.float32)
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, -0.2, 0.4], np.float32)
+    xyz1 = (xyz0 @ R.T + t + 0.3 * cfg.voxel_size *
+            rng.randn(args.pts, 3)).astype(np.float32)
+    p_img = np.zeros((1, H, W, 3), np.float32)
+    q_img = np.zeros((1, H, W, 3), np.float32)
+
+    # init params at small shapes (params are shape-independent)
+    c3 = np.unique(rng.randint(0, 10, (200, 3)).astype(np.int32), axis=0)
+    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=7,
+                                         granule=256))
+    fv = jax.jit(fcgf.init)(jax.random.PRNGKey(0),
+                            jnp.ones((a3["mask_0"].shape[0], 1)), a3)
+    c6 = np.unique(rng.randint(0, 6, (150, 6)).astype(np.int32), axis=0)
+    a6 = pyramid_to_arrays(build_pyramid(c6, 4, conv1_kernel_size=3,
+                                         granule=256))
+    iv = jax.jit(inlier.init)(
+        jax.random.PRNGKey(1), jnp.ones((a6["mask_0"].shape[0], 1)), a6,
+        p_image=jnp.asarray(p_img), q_image=jnp.asarray(q_img))
+    engine = DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
+                                    inlier_model=inlier)
+    print(f"device_maps: {cfg.use_device_maps()}")
+
+    t0 = time.perf_counter()
+    res = engine.register(xyz0, xyz1, p_img, q_img)
+    cold = time.perf_counter() - t0
+    print(f"cold register(): {cold:.1f} s "
+          f"(safeguard={res['used_safeguard']})")
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        res = engine.register(xyz0, xyz1, p_img, q_img)
+        times.append(time.perf_counter() - t0)
+    warm = min(times)
+
+    # stage breakdown on warm state
+    t0 = time.perf_counter()
+    coords0, sel0 = engine.preprocess(xyz0)
+    t_vox = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    F0 = engine.fcgf_features(coords0)
+    t_fcgf = time.perf_counter() - t0
+    coords1, sel1 = engine.preprocess(xyz1)
+    F1 = engine.fcgf_features(coords1)
+    t0 = time.perf_counter()
+    nn01 = engine.feature_matching(F0, F1)
+    t_match = time.perf_counter() - t0
+    corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
+    t0 = time.perf_counter()
+    engine.inlier_prediction(corr6d, p_img, q_img)
+    t_inlier = time.perf_counter() - t0
+
+    print(f"voxels: {len(coords0)} / {len(coords1)}")
+    print(f"warm register(): {warm:.2f} s   (runs: "
+          + ", ".join(f"{x:.2f}" for x in times) + ")")
+    print(f"  voxelize      {t_vox:.2f} s")
+    print(f"  fcgf feats    {t_fcgf:.2f} s (one cloud)")
+    print(f"  1-NN match    {t_match:.2f} s")
+    print(f"  inlier net    {t_inlier:.2f} s (6D pyramid + fwd)")
+    print(json.dumps({
+        "metric": "dgr_register_sec_per_pair", "value": round(warm, 3),
+        "unit": "s/pair", "voxels": int(len(coords0)),
+        "device_maps": bool(cfg.use_device_maps()),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
