@@ -55,7 +55,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.fused is None:
-        args.fused = jax.default_backend() != "cpu"
+        # eval: fused on TPU. train: dense is faster at the reference's
+        # N=1000 scale (pass --fused explicitly for O(N)-memory large-N
+        # training via the flash custom_vjp backward).
+        args.fused = jax.default_backend() != "cpu" and not args.train
     import jax.numpy as jnp
 
     from gmf_tpu.data import make_correspondence_problem

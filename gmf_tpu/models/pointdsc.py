@@ -229,7 +229,11 @@ class PointDSC(nn.Module):
         sigma = self.param("sigma", lambda _: jnp.ones((1,), self.dtype))
         sigma_spat = jnp.asarray(self.sigma_d, self.dtype)
 
-        fused = self.fused_attention and not train
+        # Fused applies in training too: the Pallas kernel carries a flash
+        # custom_vjp (ops/fused_attention.py), so large-N training never
+        # materializes compat either. (The SM similarity matrix M is still
+        # dense in train mode — it IS the SM-loss target, ref :231-234.)
+        fused = self.fused_attention
         # Step 1: spatial-consistency matrix (no_grad in ref :216-221).
         # The fused Pallas path rebuilds it blockwise inside the attention
         # kernel (and the NMS kernel) instead of materializing any [N, N]

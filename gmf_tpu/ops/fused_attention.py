@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: compatibility-modulated flash attention.
+"""Pallas TPU kernel: compatibility-modulated flash attention (fwd + bwd).
 
 The hottest op in PointDSC (SURVEY.md §3.1): 12 layers of single-head
 self-attention whose logits are ELEMENTWISE MULTIPLIED by the spatial-
@@ -16,9 +16,15 @@ Trick: keypoints are zero-padded to 128 lanes so the [BQ,3]x[3,BK]
 distance dot-products become full MXU tiles at zero extra cost (the MXU
 pads the contraction dim to 128 regardless).
 
-Used in the no-grad eval path; training at N=1000 stays on XLA (the
-fused backward is not implemented — the reference trains at N=1000 where
-XLA is compute-bound anyway).
+Differentiation: a jax.custom_vjp with a flash backward. The forward
+additionally emits the per-row logsumexp; the backward recomputes
+compat/p blockwise in two passes (dK/dV with the key block resident,
+dQ with the query block resident). Both backward kernels keep the QUERY
+index in the lane dimension ([BK, BQ] tiles) so the [1, BQ] lse/delta
+rows broadcast without any in-kernel transpose. Gradients flow to
+q/k/v only; the keypoints and mask get symbolic zeros (they are data
+inputs in the reference — PointDSC.py:216-221 builds compat from the
+non-learnable correspondence coordinates).
 """
 
 from __future__ import annotations
@@ -31,11 +37,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+_LSE_PAD = 1e9  # lse of padded/invalid query rows in bwd => p == 0
 
 
-def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref, mask_ref,
-            o_ref, m_scr, l_scr, acc_scr, *, sigma_sq: float, scale: float,
-            nk_blocks: int, mm_dtype):
+def _compat_block(sa, sb, ta, tb, sigma_sq):
+    """Spatial-consistency tile with rows = a, cols = b.
+
+    sa/ta: [BA, 128] zero-padded keypoints; sb/tb: [BB, 128].
+    """
+    dot_s = jax.lax.dot_general(sa, sb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dot_t = jax.lax.dot_general(ta, tb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    ns_a = jnp.sum(sa * sa, axis=1)[:, None]
+    ns_b = jnp.sum(sb * sb, axis=1)[None, :]
+    nt_a = jnp.sum(ta * ta, axis=1)[:, None]
+    nt_b = jnp.sum(tb * tb, axis=1)[None, :]
+    ds = jnp.sqrt(jnp.maximum(ns_a + ns_b - 2.0 * dot_s, 0.0))
+    dt = jnp.sqrt(jnp.maximum(nt_a + nt_b - 2.0 * dot_t, 0.0))
+    return jnp.maximum(1.0 - (ds - dt) ** 2 / sigma_sq, 0.0)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref,
+                mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                sigma_sq: float, scale: float, nk_blocks: int, mm_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -53,23 +78,8 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref, mask_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                          # [BQ, BK]
 
-    # spatial consistency, rebuilt blockwise from (zero-padded) keypoints
-    sq = sq_ref[:]                     # [BQ, 128] (xyz in lanes 0..2)
-    sk = sk_ref[:]
-    tq = tq_ref[:]
-    tk = tk_ref[:]
-    dot_s = jax.lax.dot_general(sq, sk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    dot_t = jax.lax.dot_general(tq, tk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    ns_q = jnp.sum(sq * sq, axis=1)[:, None]
-    ns_k = jnp.sum(sk * sk, axis=1)[None, :]
-    nt_q = jnp.sum(tq * tq, axis=1)[:, None]
-    nt_k = jnp.sum(tk * tk, axis=1)[None, :]
-    ds = jnp.sqrt(jnp.maximum(ns_q + ns_k - 2.0 * dot_s, 0.0))
-    dt = jnp.sqrt(jnp.maximum(nt_q + nt_k - 2.0 * dot_t, 0.0))
-    compat = jnp.maximum(1.0 - (ds - dt) ** 2 / sigma_sq, 0.0)
-
+    compat = _compat_block(sq_ref[:], sk_ref[:], tq_ref[:], tk_ref[:],
+                           sigma_sq)
     s = compat * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)  # mask: [1, BK] broadcasts
 
@@ -90,8 +100,208 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref, mask_ref,
 
     @pl.when(j == nk_blocks - 1)
     def _store():
-        o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
-            o_ref.dtype)
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[:] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse = m_scr[:] + jnp.log(l)              # [BQ, 1]
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+def _bwd_tile(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, sq_ref,
+              sk_ref, tq_ref, tk_ref, maskc_ref, sigma_sq, scale, mm_dtype):
+    """Shared backward tile math, key index in rows / query in lanes.
+
+    Returns (p_T [BK, BQ] f32, dlogits_T [BK, BQ] f32).
+    """
+    q = q_ref[:].astype(mm_dtype)
+    k = k_ref[:].astype(mm_dtype)
+    qk_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                    # [BK, BQ]
+    compat_t = _compat_block(sk_ref[:], sq_ref[:], tk_ref[:], tq_ref[:],
+                             sigma_sq)
+    s_t = compat_t * qk_t
+    mk = jnp.max(maskc_ref[:], axis=1, keepdims=True)   # [BK, 1]
+    s_t = jnp.where(mk > 0, s_t, NEG_INF)
+    p_t = jnp.exp(s_t - lse_ref[:])              # lse [1, BQ] broadcasts
+    dp_t = jax.lax.dot_general(
+        v_ref[:].astype(mm_dtype), do_ref[:].astype(mm_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dlogits_t = p_t * (dp_t - delta_ref[:]) * compat_t * scale
+    return p_t, dlogits_t
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    sq_ref, sk_ref, tq_ref, tk_ref, maskc_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, sigma_sq: float,
+                    scale: float, nq_blocks: int, mm_dtype):
+    i = pl.program_id(1)  # query block (inner)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    p_t, dlogits_t = _bwd_tile(
+        q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, sq_ref, sk_ref,
+        tq_ref, tk_ref, maskc_ref, sigma_sq, scale, mm_dtype)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot(
+        p_t.astype(mm_dtype), do_ref[:].astype(mm_dtype),
+        preferred_element_type=jnp.float32)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot(
+        dlogits_t.astype(mm_dtype), q_ref[:].astype(mm_dtype),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq_blocks - 1)
+    def _store():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                   sq_ref, sk_ref, tq_ref, tk_ref, maskc_ref,
+                   dq_ref, dq_scr, *, sigma_sq: float, scale: float,
+                   nk_blocks: int, mm_dtype):
+    j = pl.program_id(1)  # key block (inner)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    _, dlogits_t = _bwd_tile(
+        q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, sq_ref, sk_ref,
+        tq_ref, tk_ref, maskc_ref, sigma_sq, scale, mm_dtype)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        dlogits_t.astype(mm_dtype), k_ref[:].astype(mm_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_blocks - 1)
+    def _store():
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _forward_call(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq, bk,
+                  interpret):
+    """Padded-shape pallas forward. Returns (out [Np, D], lse [Np, 128])."""
+    Np, D = qp.shape
+    nq_blocks = Np // bq
+    nk_blocks = Np // bk
+    kernel = functools.partial(
+        _fwd_kernel, sigma_sq=sigma_sq, scale=scale, nk_blocks=nk_blocks,
+        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Np, D), qp.dtype),
+                   jax.ShapeDtypeStruct((Np, 128), jnp.float32)),
+        grid=(nq_blocks, nk_blocks),
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda i, j: (i, 0)),    # q
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # k
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # v
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # src_q
+            pl.BlockSpec((bk, 128), lambda i, j: (j, 0)),  # src_k
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # tgt_q
+            pl.BlockSpec((bk, 128), lambda i, j: (j, 0)),  # tgt_k
+            pl.BlockSpec((1, bk), lambda i, j: (0, j)),    # mask
+        ],
+        out_specs=(pl.BlockSpec((bq, D), lambda i, j: (i, 0)),
+                   pl.BlockSpec((bq, 128), lambda i, j: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),   # m
+            pltpu.VMEM((bq, 1), jnp.float32),   # l
+            pltpu.VMEM((bq, D), jnp.float32),   # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, sp, sp, tp, tp, mp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq, bk, interpret):
+    out, _ = _forward_call(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq, bk,
+                           interpret)
+    return out
+
+
+def _flash_fwd(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq, bk, interpret):
+    out, lse = _forward_call(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq,
+                             bk, interpret)
+    return out, (qp, kp, vp, sp, tp, mp, out, lse)
+
+
+def _flash_bwd(sigma_sq, scale, bq, bk, interpret, res, do):
+    qp, kp, vp, sp, tp, mp, out, lse = res
+    Np, D = qp.shape
+    nq_blocks = Np // bq
+    nk_blocks = Np // bk
+    mm_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    # padded/invalid query rows: p must be exactly 0 in the recompute
+    # (their forward lse ~ NEG_INF would otherwise make exp() explode;
+    # their do is already zero, but 0 * inf = nan).
+    valid = mp[0] > 0                                     # [Np]
+    lse_row = jnp.where(valid, lse[:, 0], _LSE_PAD).reshape(1, Np)
+    delta_row = jnp.sum(do * out, axis=-1).reshape(1, Np)  # [1, Np]
+    maskc = jnp.broadcast_to(mp.reshape(Np, 1), (Np, 128))
+
+    qspec = pl.BlockSpec((bq, D), lambda a, b: (b, 0))
+    kspec = pl.BlockSpec((bk, D), lambda a, b: (a, 0))
+    rowq = pl.BlockSpec((1, bq), lambda a, b: (0, b))
+    sqspec = pl.BlockSpec((bq, 128), lambda a, b: (b, 0))
+    skspec = pl.BlockSpec((bk, 128), lambda a, b: (a, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sigma_sq=sigma_sq, scale=scale,
+                          nq_blocks=nq_blocks, mm_dtype=mm_dtype),
+        out_shape=(jax.ShapeDtypeStruct((Np, D), kp.dtype),
+                   jax.ShapeDtypeStruct((Np, D), vp.dtype)),
+        grid=(nk_blocks, nq_blocks),
+        in_specs=[qspec, qspec, rowq, rowq, kspec, kspec,
+                  sqspec, skspec, sqspec, skspec, skspec],
+        out_specs=(pl.BlockSpec((bk, D), lambda a, b: (a, 0)),
+                   pl.BlockSpec((bk, D), lambda a, b: (a, 0))),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, do, lse_row, delta_row, kp, vp, sp, sp, tp, tp, maskc)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sigma_sq=sigma_sq, scale=scale,
+                          nk_blocks=nk_blocks, mm_dtype=mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((Np, D), qp.dtype),
+        grid=(nq_blocks, nk_blocks),
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda a, b: (a, 0)),      # q
+            pl.BlockSpec((bq, D), lambda a, b: (a, 0)),      # do
+            pl.BlockSpec((1, bq), lambda a, b: (0, a)),      # lse
+            pl.BlockSpec((1, bq), lambda a, b: (0, a)),      # delta
+            pl.BlockSpec((bk, D), lambda a, b: (b, 0)),      # k
+            pl.BlockSpec((bk, D), lambda a, b: (b, 0)),      # v
+            pl.BlockSpec((bq, 128), lambda a, b: (a, 0)),    # src_q
+            pl.BlockSpec((bk, 128), lambda a, b: (b, 0)),    # src_k
+            pl.BlockSpec((bq, 128), lambda a, b: (a, 0)),    # tgt_q
+            pl.BlockSpec((bk, 128), lambda a, b: (b, 0)),    # tgt_k
+            pl.BlockSpec((bk, 128), lambda a, b: (b, 0)),    # mask col
+        ],
+        out_specs=pl.BlockSpec((bq, D), lambda a, b: (a, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, do, lse_row, delta_row, kp, vp, sp, sp, tp, tp, maskc)
+
+    zero_s = jnp.zeros_like(sp)
+    zero_t = jnp.zeros_like(tp)
+    zero_m = jnp.zeros_like(mp)
+    return dq, dk, dv, zero_s, zero_t, zero_m
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(
@@ -101,7 +311,8 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref, mask_ref,
 def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
                            sigma_d: float = 0.10, block_q: int = 256,
                            block_k: int = 512, interpret: bool = False):
-    """Single-head compat-modulated attention, one pair.
+    """Single-head compat-modulated attention, one pair. Differentiable
+    w.r.t. q/k/v (flash backward; keypoints/mask receive zero grads).
 
     Args:
       q, k, v: [N, D] (D multiple of 128 preferred).
@@ -129,40 +340,8 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
          else mask.astype(jnp.float32))
     mp = jnp.pad(m, (0, Np - N)).reshape(1, Np)
 
-    nq_blocks = Np // bq
-    nk_blocks = Np // bk
-
-    kernel = functools.partial(
-        _kernel, sigma_sq=float(sigma_d) ** 2, scale=1.0 / (D ** 0.5),
-        nk_blocks=nk_blocks,
-        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Np, D), q.dtype),
-        grid=(nq_blocks, nk_blocks),
-        in_specs=[
-            pl.BlockSpec((bq, D), lambda i, j: (i, 0)),    # q
-            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # k
-            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # v
-            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # src_q
-            pl.BlockSpec((bk, 128), lambda i, j: (j, 0)),  # src_k
-            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # tgt_q
-            pl.BlockSpec((bk, 128), lambda i, j: (j, 0)),  # tgt_k
-            pl.BlockSpec((1, bk), lambda i, j: (0, j)),    # mask
-        ],
-        out_specs=pl.BlockSpec((bq, D), lambda i, j: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),   # m
-            pltpu.VMEM((bq, 1), jnp.float32),   # l
-            pltpu.VMEM((bq, D), jnp.float32),   # acc
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, sp, sp, tp, tp, mp)
-
+    out = _flash(qp, kp, vp, sp, tp, mp, float(sigma_d) ** 2,
+                 1.0 / (D ** 0.5), bq, bk, interpret)
     return out[:N]
 
 

@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true", help="tiny smoke config")
+    ap.add_argument("--fused", action="store_true",
+                    help="Pallas flash attention in training (custom_vjp "
+                         "backward; O(N)-memory — for large --num-node)")
     args = ap.parse_args()
 
     import jax
@@ -155,7 +158,8 @@ def main():
             num_iterations=cfg.model.num_iterations, ratio=cfg.model.ratio,
             inlier_threshold=cfg.model.inlier_threshold,
             sigma_d=cfg.model.sigma_d, k=cfg.model.k,
-            nms_radius=cfg.model.nms_radius)
+            nms_radius=cfg.model.nms_radius,
+            fused_attention=args.fused)
 
     tcfg = TrainConfig(
         lr=cfg.lr, weight_decay=cfg.weight_decay,

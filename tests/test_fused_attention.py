@@ -49,3 +49,52 @@ class TestCompatFlashAttention:
         # only valid queries matter
         np.testing.assert_allclose(np.asarray(got)[:200],
                                    np.asarray(ref)[:200], atol=2e-4)
+
+
+class TestFlashBackward:
+    """custom_vjp flash backward vs XLA-reference gradients (interpret)."""
+
+    def _grads(self, fn, q, k, v, s, t, mask):
+        def loss(q, k, v):
+            out = fn(q, k, v, s, t, mask)
+            # valid-row weighted sum (padded/masked rows excluded)
+            w = jnp.arange(out.shape[0])[:, None] * 0.01 + 1.0
+            sel = mask[:, None] if mask is not None else 1.0
+            return jnp.sum(out * w * sel)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def _check(self, rng, N, mask=None, sigma_d=0.25):
+        q, k, v, s, t = make_inputs(rng, N=N)
+        fused = lambda q, k, v, s, t, m: compat_flash_attention(
+            q, k, v, s, t, mask=m, sigma_d=sigma_d, block_q=128,
+            block_k=128, interpret=True)
+        dense = lambda q, k, v, s, t, m: compat_attention_reference(
+            q, k, v, s, t, mask=m, sigma_d=sigma_d)
+        got = self._grads(fused, q, k, v, s, t, mask)
+        ref = self._grads(dense, q, k, v, s, t, mask)
+        for g, r, name in zip(got, ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=3e-4, err_msg=f"d{name}")
+
+    def test_grads_match_reference(self, rng):
+        self._check(rng, N=256)
+
+    def test_grads_non_divisible_n(self, rng):
+        self._check(rng, N=300)
+
+    def test_grads_masked(self, rng):
+        N = 256
+        mask = jnp.asarray((np.arange(N) < 190).astype(np.float32))
+        self._check(rng, N=N, mask=mask)
+
+    def test_grads_finite_low_inlier(self, rng):
+        """compat mostly zero (hard pair): grads must stay finite."""
+        q, k, v, s, t = make_inputs(rng, N=256)
+        g = self._grads(
+            lambda q, k, v, s, t, m: compat_flash_attention(
+                q, k, v, s, t, mask=m, sigma_d=0.01, block_q=128,
+                block_k=128, interpret=True),
+            q, k, v, s, t, None)
+        for x in g:
+            assert np.all(np.isfinite(np.asarray(x)))
