@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--device-maps", choices=["auto", "on", "off"],
                     default="auto")
+    ap.add_argument("--cloud", choices=["uniform", "surface"],
+                    default="uniform",
+                    help="uniform box (worst case: pyramid levels barely "
+                         "merge) or a heightfield surface (realistic scan "
+                         "geometry: coarser levels shrink like 3DMatch)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="small nets + small pair (smoke)")
@@ -72,10 +77,18 @@ def main():
         inlier = GMFInlierNet()
     H, W = cfg.image_hw
 
-    # synthetic pair: uniform box sized so ~0.7 * pts voxels survive
     rng = np.random.RandomState(0)
-    box = (args.pts * 0.7) ** (1 / 3) * cfg.voxel_size
-    xyz0 = (rng.rand(args.pts, 3) * box).astype(np.float32)
+    if args.cloud == "surface":
+        # heightfield: a 2-D manifold like a depth-camera scan
+        side = (args.pts * 0.9) ** 0.5 * cfg.voxel_size
+        xy = rng.rand(args.pts, 2) * side
+        z = (0.3 * side * (np.sin(xy[:, 0] * 4 / side)
+                           + np.cos(xy[:, 1] * 5 / side)))
+        xyz0 = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+    else:
+        # uniform box sized so ~0.7 * pts voxels survive
+        box = (args.pts * 0.7) ** (1 / 3) * cfg.voxel_size
+        xyz0 = (rng.rand(args.pts, 3) * box).astype(np.float32)
     ang = 0.4
     R = np.array([[np.cos(ang), -np.sin(ang), 0],
                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
