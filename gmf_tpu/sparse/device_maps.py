@@ -170,18 +170,24 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
 
 
 def _prune_and_pad_device(nbr, cap_in: int, kernel_volume: int,
-                          prune: bool, granule: int = 32):
+                          prune: bool, granule: int = 32, nonempty=None):
     """Device-side equivalent of host prune_empty + _pad_offsets.
 
     Keeps the same offset order and the same bucket rule
     (target = min(ceil(K'/granule)*granule, K_full)); padded offset rows
-    read an all-sentinel row (zero contribution) with kept-id 0. Costs one
-    [K]-bool host fetch to pick the kept set (the maps stay on device).
+    read an all-sentinel row (zero contribution) with kept-id 0. Needs a
+    [K]-bool host fetch to pick the kept set (the maps stay on device) —
+    callers building several maps should precompute all `nonempty`
+    vectors and fetch them in one batch, so every probe is dispatched
+    before the first host sync.
     """
     K = nbr.shape[0]
     if not prune:
         return nbr, jnp.arange(K, dtype=jnp.int32)
-    nonempty = np.array(jnp.any(nbr != cap_in, axis=1))     # tiny fetch
+    if nonempty is None:
+        nonempty = np.array(jnp.any(nbr != cap_in, axis=1))  # tiny fetch
+    else:
+        nonempty = np.array(nonempty)
     nonempty[kernel_volume // 2] = True                     # keep center
     kept = np.nonzero(nonempty)[0].astype(np.int32)
     target = min(-(-len(kept) // granule) * granule, K)
@@ -230,19 +236,44 @@ def build_pyramid_arrays_device(
         cpad_l.append(jnp.asarray(c_pad))
         mask_l.append(jnp.asarray(mask))
 
-    def _map(l_in: int, l_out: int, offsets: np.ndarray):
-        nbr = device_kernel_map(
-            cpad_l[l_in], cpad_l[l_out], jnp.asarray(offsets),
-            mask_l[l_in], mask_l[l_out], sentinel=cap_l[l_in])
-        return _prune_and_pad_device(nbr, cap_l[l_in], len(offsets), prune)
+    # Phase 1: dispatch EVERY probe before the first host fetch — the
+    # prune decision needs a [K]-bool from each map, and fetching eagerly
+    # would idle the device through one relay round trip per map.
+    jobs = []   # (array key, level of the input side, kernel volume, nbr)
+    for l in range(num_levels):
+        k3 = offs_fn(3, dim, 2 ** l)
+        jobs.append((f"self_{l}", l, len(k3), device_kernel_map(
+            cpad_l[l], cpad_l[l], jnp.asarray(k3), mask_l[l], mask_l[l],
+            sentinel=cap_l[l])))
+        if l + 1 < num_levels:
+            jobs.append((f"down_{l}", l, len(k3), device_kernel_map(
+                cpad_l[l], cpad_l[l + 1], jnp.asarray(k3), mask_l[l],
+                mask_l[l + 1], sentinel=cap_l[l])))
+    if conv1_kernel_size != 3:
+        k1 = offs_fn(conv1_kernel_size, dim, 1)
+        jobs.append(("conv1", 0, len(k1), device_kernel_map(
+            cpad_l[0], cpad_l[0], jnp.asarray(k1), mask_l[0], mask_l[0],
+            sentinel=cap_l[0])))
+
+    # Phase 2: one batched fetch of all prune vectors.
+    nonempty = {}
+    if prune:
+        nonempty = jax.device_get({
+            name: jnp.any(nbr != cap_l[l_in], axis=1)
+            for name, l_in, _, nbr in jobs})
+
+    pruned = {
+        name: _prune_and_pad_device(nbr, cap_l[l_in], kv, prune,
+                                    nonempty=nonempty.get(name))
+        for name, l_in, kv, nbr in jobs}
 
     arrays: Dict[str, jnp.ndarray] = {}
     for l in range(num_levels):
         arrays[f"mask_{l}"] = mask_l[l]
-        k3 = offs_fn(3, dim, 2 ** l)
-        arrays[f"self_map_{l}"], arrays[f"self_kept_{l}"] = _map(l, l, k3)
+        arrays[f"self_map_{l}"], arrays[f"self_kept_{l}"] = pruned[
+            f"self_{l}"]
         if l + 1 < num_levels:
-            down, down_kept = _map(l, l + 1, k3)
+            down, down_kept = pruned[f"down_{l}"]
             arrays[f"down_map_{l}"] = down
             arrays[f"down_kept_{l}"] = down_kept
             # The transpose map is the exact inverse of the forward map:
@@ -271,6 +302,5 @@ def build_pyramid_arrays_device(
         arrays["conv1_map"] = arrays["self_map_0"]
         arrays["conv1_kept"] = arrays["self_kept_0"]
     else:
-        k1 = offs_fn(conv1_kernel_size, dim, 1)
-        arrays["conv1_map"], arrays["conv1_kept"] = _map(0, 0, k1)
+        arrays["conv1_map"], arrays["conv1_kept"] = pruned["conv1"]
     return arrays
