@@ -45,18 +45,30 @@ def ransac_registration(key, src, tgt, inlier_threshold: float,
     N = src.shape[0]
     n_chunks = -(-num_iters // chunk)
     total = n_chunks * chunk
-    idx = jax.random.randint(key, (total, sample_size), 0, N)
+    if mask is None:
+        idx = jax.random.randint(key, (total, sample_size), 0, N)
+    else:
+        # Rejection-free remap onto valid indices: stable-sort valid rows
+        # to the front, then draw uniformly from the first n_valid slots,
+        # so padded/invalid rows never enter a hypothesis sample.
+        mask_b = mask.astype(bool)
+        order = jnp.argsort(~mask_b)  # valid original indices first
+        n_val = jnp.maximum(jnp.sum(mask_b.astype(jnp.int32)), 1)
+        u = jax.random.uniform(key, (total, sample_size))
+        pos = jnp.minimum((u * n_val).astype(jnp.int32), n_val - 1)
+        idx = order[pos]
+
+    valid = jnp.ones((N,), src.dtype) if mask is None else mask.astype(src.dtype)
+    n_valid = jnp.sum(valid)
     if mask is not None:
-        # Resample invalid picks onto valid indices by rejection-free
-        # remap: invalid rows simply produce bad hypotheses that never win.
-        pass
+        # Zero padded rows so NaN/garbage padding cannot contaminate the
+        # weighted refit (0-weight x NaN = NaN) or the scoring einsum.
+        src = jnp.where(valid[:, None] > 0, src, 0.0)
+        tgt = jnp.where(valid[:, None] > 0, tgt, 0.0)
 
     A = src[idx]  # [total, 3, 3]
     B = tgt[idx]
     hyps = kabsch_quat(A, B)  # [total, 4, 4]
-
-    valid = jnp.ones((N,), src.dtype) if mask is None else mask.astype(src.dtype)
-    n_valid = jnp.sum(valid)
 
     def score_chunk(hyp_chunk):
         R = hyp_chunk[:, :3, :3]

@@ -48,6 +48,25 @@ class TestRansac:
         np.testing.assert_allclose(np.asarray(T)[:3, :3], T_gt[:3, :3],
                                    atol=1e-2)
 
+    def test_masked_never_samples_padding(self, rng):
+        # Padded rows are NaN: if any hypothesis sampled them, the winning
+        # transform could not be exact/finite. The valid-index remap
+        # guarantees padding never enters a hypothesis triple.
+        src, tgt, T_gt = make_problem(rng, N=64, outlier_ratio=0.3,
+                                      noise=0.0)
+        pad = np.full((192, 3), np.nan, np.float32)
+        mask = np.concatenate([np.ones(64, np.float32),
+                               np.zeros(192, np.float32)])
+        T, _, fit = ransac_registration(
+            jax.random.PRNGKey(2), jnp.asarray(np.concatenate([src, pad])),
+            jnp.asarray(np.concatenate([tgt, pad])),
+            inlier_threshold=0.05, num_iters=1024, chunk=256,
+            mask=jnp.asarray(mask))
+        T = np.asarray(T)
+        assert np.all(np.isfinite(T))
+        np.testing.assert_allclose(T[:3, :3], T_gt[:3, :3], atol=1e-4)
+        np.testing.assert_allclose(T[:3, 3], T_gt[:3, 3], atol=1e-4)
+
 
 class TestICP:
     def test_polishes_coarse_init(self, rng):
