@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny random model (smoke test)")
+    ap.add_argument("--save-trans", default=None,
+                    help="write the estimated [4,4] transform to this .npy")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +121,8 @@ def main():
     trans, labels = registrar(sample)
     print("estimated transform:\n", np.round(trans, 4))
     print(f"predicted inliers: {int(labels.sum())}/{len(labels)}")
+    if args.save_trans:
+        np.save(args.save_trans, np.asarray(trans))
     if T_gt is not None:
         re = float(rotation_error_deg(jnp.asarray(trans[:3, :3]),
                                       jnp.asarray(T_gt[:3, :3])))

@@ -1,0 +1,53 @@
+"""Integration: register the reference's REAL demo pair.
+
+GMF_PointDSC/demo_data/cloud_bin_{0,1}.ply is the one real-data fixture
+the reference ships (redkitchen fragments from 3DMatch;
+GMF_PointDSC/demo_registration.py:58-123 registers them). This test drives
+our full FPFH -> correspondences -> PointDSC pipeline on those clouds via
+examples/demo_registration.py and asserts the estimated transform against
+an independently derived anchor.
+
+Anchor derivation (no ground truth ships with the pair): FPFH at 5 cm
+voxels -> mutual-NN correspondences (380) -> RANSAC 65 536 iters @5 cm ->
+full-cloud ICP @7 cm. Under the anchor, 49.6 % of source voxels have a
+target NN within 2.5 cm (median NN dist 2.5 cm) — a clearly registered
+partial-overlap pair, far above chance. Success criterion matches the
+3DMatch protocol: RE < 15 deg, TE < 30 cm vs the anchor.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DEMO_DIR = "/root/reference/GMF_PointDSC/demo_data"
+SRC = os.path.join(DEMO_DIR, "cloud_bin_0.ply")
+TGT = os.path.join(DEMO_DIR, "cloud_bin_1.ply")
+
+# FPFH + RANSAC(65k) + ICP anchor; see module docstring.
+T_ANCHOR = np.array([
+    [0.97875077, 0.1578891, 0.1308352, 0.18335822],
+    [-0.00637131, 0.6611639, -0.7502136, 1.3558575],
+    [-0.2049542, 0.7334385, 0.64812064, 0.69833875],
+    [0.0, 0.0, 0.0, 1.0],
+], np.float32)
+
+
+@pytest.mark.skipif(not os.path.exists(SRC), reason="reference demo_data absent")
+def test_register_reference_demo_pair(tmp_path):
+    out = tmp_path / "trans.npy"
+    res = subprocess.run(
+        [sys.executable, "examples/demo_registration.py", "--cpu", "--tiny",
+         "--src", SRC, "--tgt", TGT, "--save-trans", str(out)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=560,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    T = np.load(out)
+    assert np.all(np.isfinite(T))
+
+    R_err = T[:3, :3] @ T_ANCHOR[:3, :3].T
+    re_deg = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    te = np.linalg.norm(T[:3, 3] - T_ANCHOR[:3, 3])
+    assert re_deg < 15.0 and te < 0.30, (re_deg, te, T)
