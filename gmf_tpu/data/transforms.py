@@ -28,7 +28,7 @@ def sample_random_trans(pcd: np.ndarray, randg, rotation_range: float = 360.0
     (transforms.py:18-23)."""
     T = np.eye(4)
     axis = randg.rand(3) - 0.5
-    theta = rotation_range * np.pi / 180.0 * (float(randg.rand(1)) - 0.5)
+    theta = rotation_range * np.pi / 180.0 * (float(randg.rand()) - 0.5)
     R = rotation_about_axis(axis, theta)
     T[:3, :3] = R
     T[:3, 3] = R @ (-np.mean(pcd, axis=0))

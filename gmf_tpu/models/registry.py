@@ -12,6 +12,7 @@ from typing import Callable, Dict
 
 from gmf_tpu.models.oanet import OANet
 from gmf_tpu.models.pointdsc import PointDSC
+from gmf_tpu.sparse.pyramidnet import PYRAMID_MODELS
 from gmf_tpu.sparse.resunet import SparseResUNet2
 from gmf_tpu.sparse.simpleunet import SimpleSparseUNet
 
@@ -40,6 +41,8 @@ MODELS: Dict[str, Callable] = {
         channels=(32, 64, 128), tr_channels=(32, 64, 64), **kw),
     "SimpleNetBN2C": lambda **kw: SimpleSparseUNet(
         channels=(32, 64, 128), tr_channels=(64, 64, 64), **kw),
+    # PyramidNet hourglass zoo (model/pyramidnet.py:88-193)
+    **PYRAMID_MODELS,
     # correspondence encoders
     "PointDSC": PointDSC,
     "OANet": OANet,

@@ -138,3 +138,25 @@ class MaskedBatchNorm(nn.Module):
 
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y * mask[:, None].astype(x.dtype)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-channel normalization over the valid voxels of one instance.
+
+    Parity: ME.MinkowskiInstanceNorm as used in the reference's 'INBN'
+    norm (model/common.py:16-19) — always immediately followed by an
+    affine BatchNorm there, so this is non-affine.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: [cap, C]; mask: [cap] validity."""
+        m = mask[:, None].astype(x.dtype)
+        n = jnp.sum(m) + 1e-6
+        mean = jnp.sum(x * m, axis=0) / n
+        var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * m

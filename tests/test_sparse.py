@@ -184,6 +184,71 @@ class TestSimpleNet:
         np.testing.assert_allclose(norms[live], 1.0, atol=1e-3)
 
 
+class TestPyramidNet:
+    def test_forward_and_padding_invariance(self, rng):
+        from gmf_tpu.sparse.pyramidnet import SparsePyramidNet
+
+        coords = np.unique(rng.randint(0, 24, (250, 3)).astype(np.int32),
+                           axis=0)
+        outs = []
+        for granule in (64, 256):
+            pyr = build_pyramid(coords, 4, conv1_kernel_size=3,
+                                granule=granule)
+            arrays = pyramid_to_arrays(pyr)
+            model = SparsePyramidNet(
+                in_channels=1, out_channels=8, channels=(4, 8, 16, 16),
+                tr_channels=(8, 16, 16, 16), depths=(1, 1, 1, 1),
+                normalize_feature=True)
+            feats = jnp.ones((pyr.levels[0].cap, 1))
+            v = model.init(jax.random.PRNGKey(3), feats, arrays)
+            out = model.apply(v, feats, arrays)
+            n = pyr.levels[0].num_valid
+            assert out.shape == (pyr.levels[0].cap, 8)
+            norms = np.linalg.norm(np.asarray(out)[:n], axis=-1)
+            live = norms > 1e-6
+            assert live.mean() > 0.9
+            np.testing.assert_allclose(norms[live], 1.0, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(out)[n:], 0.0, atol=1e-6)
+            outs.append(np.asarray(out)[: len(coords)])
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+
+    def test_inbn_noblock_variant(self, rng):
+        from gmf_tpu.sparse.pyramidnet import SparsePyramidNet
+
+        coords = np.unique(rng.randint(0, 16, (150, 3)).astype(np.int32),
+                           axis=0)
+        pyr = build_pyramid(coords, 3, conv1_kernel_size=3, granule=64)
+        arrays = pyramid_to_arrays(pyr)
+        model = SparsePyramidNet(
+            in_channels=1, out_channels=4, channels=(4, 8, 8),
+            tr_channels=(8, 8, 8), depths=(0, 0, 0), norm="inbn")
+        feats = jnp.ones((pyr.levels[0].cap, 1))
+        v = model.init(jax.random.PRNGKey(4), feats, arrays)
+        out = np.asarray(model.apply(v, feats, arrays))
+        assert np.all(np.isfinite(out))
+        n = pyr.levels[0].num_valid
+        assert np.abs(out[:n]).max() > 0
+        np.testing.assert_allclose(out[n:], 0.0, atol=1e-6)
+
+    def test_registry_builds_reference_presets(self, rng):
+        from gmf_tpu.models.registry import load_model
+
+        coords = np.unique(rng.randint(0, 32, (200, 3)).astype(np.int32),
+                           axis=0)
+        pyr = build_pyramid(coords, 4, conv1_kernel_size=3, granule=64)
+        arrays = pyramid_to_arrays(pyr)
+        model = load_model("PyramidNet")(in_channels=1, out_channels=32)
+        feats = jnp.ones((pyr.levels[0].cap, 1))
+        v = model.init(jax.random.PRNGKey(5), feats, arrays)
+        out = model.apply(v, feats, arrays)
+        assert out.shape == (pyr.levels[0].cap, 32)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # deeper presets resolve too
+        for name in ("PyramidNet6", "PyramidNet6NoBlock", "PyramidNet6INBN",
+                     "PyramidNet8", "PyramidNet8INBN"):
+            assert load_model(name) is not None
+
+
 class TestTransforms:
     def test_sample_random_trans_centers(self, rng):
         from gmf_tpu.data.transforms import sample_random_trans
