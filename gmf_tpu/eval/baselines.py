@@ -24,6 +24,36 @@ from gmf_tpu.geometry.spectral import leading_eigenvector_fixed
 _PREC = jax.lax.Precision.HIGHEST
 
 
+class BaselineUnavailable(RuntimeError):
+    """A baseline's external dependency is missing (e.g. pygcransac)."""
+
+
+def gcransac_available() -> bool:
+    try:
+        import pygcransac  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def gcransac_register(src_keypts, tgt_keypts, inlier_threshold: float,
+                      max_iteration: int = 5000
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """GC-RANSAC baseline (ref baseline_3DMatch.py:101-125; needs the
+    external pygcransac wheel — gate with ``gcransac_available()``)."""
+    import pygcransac
+
+    src = np.asarray(src_keypts, np.float64)
+    tgt = np.asarray(tgt_keypts, np.float64)
+    pose, mask = pygcransac.findRigidTransform(
+        src, tgt, threshold=inlier_threshold, conf=0.99999999,
+        spatial_coherence_weight=0.1, max_iters=max_iteration,
+        use_sprt=True, min_inlier_ratio_for_sprt=0.1)
+    if mask.sum() == 0:
+        pose = np.eye(4)
+    return pose.T.astype(np.float32), np.asarray(mask, np.float32)
+
+
 def sm_register(corr_pos, src_keypts, tgt_keypts, inlier_threshold: float,
                 top_ratio: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
     """Spectral matching baseline (ref :19-54): polynomial compatibility
@@ -84,10 +114,24 @@ def ransac_register(src_keypts, tgt_keypts, inlier_threshold: float,
     return np.asarray(T), np.asarray(inliers).astype(np.float32)
 
 
+BASELINE_METHODS = ("SM", "PMC", "RANSAC", "GCRANSAC")
+
+
 def make_baseline_register_fn(method: str, inlier_threshold: float = 0.10,
                               max_iteration: int = 5000):
-    """Harness-compatible register_fn for a named baseline."""
+    """Harness-compatible register_fn for a named baseline.
+
+    Raises ``BaselineUnavailable`` at CONSTRUCTION time when the method's
+    external dependency is missing, so eval CLIs can log a skip instead of
+    crashing mid-run.
+    """
     method = method.upper()
+    if method not in BASELINE_METHODS:
+        raise ValueError(f"unknown baseline {method!r}")
+    if method == "GCRANSAC" and not gcransac_available():
+        raise BaselineUnavailable(
+            "GC-RANSAC needs the external pygcransac wheel "
+            "(unavailable, as in the reference's default env)")
 
     def register(pair: Dict[str, np.ndarray]):
         if method == "SM":
@@ -99,14 +143,7 @@ def make_baseline_register_fn(method: str, inlier_threshold: float = 0.10,
         if method == "RANSAC":
             return ransac_register(pair["src_keypts"], pair["tgt_keypts"],
                                    inlier_threshold, max_iteration)
-        if method == "GCRANSAC":
-            try:
-                import pygcransac  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "GC-RANSAC needs the external pygcransac wheel "
-                    "(unavailable, as in the reference's default env)"
-                ) from e
-        raise ValueError(f"unknown baseline {method!r}")
+        return gcransac_register(pair["src_keypts"], pair["tgt_keypts"],
+                                 inlier_threshold, max_iteration)
 
     return register

@@ -53,3 +53,24 @@ def data_parallel_shardings(mesh: Mesh):
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("data"))
     return repl, batched
+
+
+def process_shard(items: Sequence, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """Per-process slice of a host-side work list (multi-host data loading).
+
+    SPMD multi-host JAX runs one Python process per host; each process
+    must load a DISJOINT shard of the dataset (the tf.data
+    ``shard(num_shards, index)`` contract). ``shard_batch`` above shards
+    arrays already resident on one host across local devices; this helper
+    is the loader-side half: strided assignment of dataset items (pair
+    paths, scene ids) to processes, so every global batch is drawn from
+    process-disjoint data.
+
+    Single-host (this repo's v5e-1/v5e-8 scope) degenerates to identity.
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return items[process_index::process_count]

@@ -35,13 +35,17 @@ class _BatchedLoader:
         import numpy as np
 
         from gmf_tpu.data.collate import min_clip_collate
+        from gmf_tpu.parallel.mesh import process_shard
 
         rng = np.random.RandomState(self.seed + self._epoch)
         self._epoch += 1
         n = len(self.dataset)
-        order = rng.permutation(n)
+        # Multi-host: every process draws the SAME seeded permutation and
+        # takes its strided, disjoint shard (identity on one host).
+        order = process_shard(rng.permutation(n))
+        m = len(order)
         for step in range(self.steps_per_epoch):
-            idx = [order[(step * self.batch_size + b) % n]
+            idx = [order[(step * self.batch_size + b) % m]
                    for b in range(self.batch_size)]
             samples = [self.dataset[i] for i in idx]
             samples = [{k: v for k, v in s.items() if k != "scene"}

@@ -42,7 +42,16 @@ def test_baseline_registers(rng, method, atol_r, atol_t):
 
 
 def test_gcransac_gated(rng):
-    pair, _ = make_pair(rng, N=50)
-    fn = make_baseline_register_fn("GCRANSAC")
-    with pytest.raises((NotImplementedError, ImportError)):
-        fn(pair)
+    """Without the pygcransac wheel, GC-RANSAC must fail at CONSTRUCTION
+    with BaselineUnavailable so eval CLIs can log a skip up front."""
+    from gmf_tpu.eval.baselines import BaselineUnavailable, gcransac_available
+
+    if gcransac_available():
+        pytest.skip("pygcransac installed; gate not exercised")
+    with pytest.raises(BaselineUnavailable):
+        make_baseline_register_fn("GCRANSAC")
+
+
+def test_unknown_method_rejected():
+    with pytest.raises(ValueError):
+        make_baseline_register_fn("BOGUS")

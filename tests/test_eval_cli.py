@@ -74,3 +74,30 @@ def test_eval_3dmatch_cli(fixture_tree, monkeypatch, capsys):
     # geometry-driven registration should succeed even with random weights
     assert stats[0, 0] == 1.0, stats[0]
     assert stats[0, 1] < 15.0  # RE within threshold
+
+
+def test_baseline_eval_cli_skips_unavailable(fixture_tree, monkeypatch,
+                                             caplog):
+    """SM/RANSAC run under the harness; GC-RANSAC logs SKIPPED (no wheel)
+    instead of crashing (ref baseline_scripts/baseline_3DMatch.py)."""
+    root, _, scene = fixture_tree
+    from gmf_tpu.eval import baseline_eval
+    from gmf_tpu.eval.baselines import gcransac_available
+
+    out_dir = os.path.join(root, "baseline_out")
+    monkeypatch.setattr(sys, "argv", [
+        "baseline_eval", "--root", root, "--methods", "SM", "RANSAC",
+        "GCRANSAC", "--scenes", scene, "--out", out_dir,
+    ])
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        baseline_eval.main()
+    for method in ("SM", "RANSAC"):
+        stats = np.load(os.path.join(out_dir, f"{method}_stats.npy"))
+        assert stats.shape == (1, 12)
+        assert stats[0, 0] == 1.0, (method, stats[0])
+    if not gcransac_available():
+        assert "SKIPPED" in caplog.text
+        assert not os.path.exists(os.path.join(out_dir,
+                                               "GCRANSAC_stats.npy"))

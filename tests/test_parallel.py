@@ -38,6 +38,17 @@ class TestMesh:
 
         assert float(mean_all(x)) == 1.0
 
+    def test_process_shard_disjoint_and_complete(self):
+        from gmf_tpu.parallel.mesh import process_shard
+
+        items = list(range(23))
+        shards = [process_shard(items, p, 4) for p in range(4)]
+        flat = sorted(x for s in shards for x in s)
+        assert flat == items  # complete, disjoint
+        assert all(len(s) in (5, 6) for s in shards)
+        # single-host identity (jax.process_count() == 1 here)
+        assert process_shard(items) == items
+
 
 class TestDataParallelTrainStep:
     def test_sharded_step_matches_single_device(self):
