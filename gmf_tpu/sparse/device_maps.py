@@ -164,6 +164,154 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
     return jax.lax.cond(overflow, sorted_path, hash_path, None)
 
 
+def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
+                            in_valid_mask, out_valid_mask, sentinel: int,
+                            chains: int = 1):
+    """Separable 2x3-D probe for 6-D correspondence coordinates.
+
+    A 6-D voxel is a (src, tgt) coordinate pair and the hypercube offset
+    list factorizes row-major: offset k = k_s * |offs_t| + k_t. Instead of
+    hashing all 729 x M query keys (3 int64 gathers each — the DGR E2E
+    bottleneck), hash only the 27 x M SRC-part keys, then verify the
+    TGT part with ONE gathered int32 key compared against all 27 t-offsets
+    by broadcast (no further gathers): ~27x(3+3)/729x3 = 13.5x fewer
+    gathered elements at chains=1.
+
+    Duplicate src-keys (possible at coarse pyramid levels where distinct
+    6-D voxels share a downsampled src part) cascade through
+    ``chains x 3`` hash tables; pick ``chains >= ceil(max_multiplicity/3)``
+    (host-known — the level coords are built on host). Unplaceable keys
+    flip an in-graph cond to the exact full-key binary search, so the map
+    stays exact for ANY input.
+
+    Returns nbr [(Ks*Kt), M] int32 — bit-identical to
+    ``device_kernel_map(in, out, cartesian(offs_s, offs_t), ...)``.
+    """
+    with jax.enable_x64():
+        return _device_kernel_map_split(
+            in_coords, out_coords, offs_s, offs_t, in_valid_mask,
+            out_valid_mask, sentinel=sentinel, chains=chains)
+
+
+@partial(jax.jit, static_argnames=("sentinel", "chains"))
+def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
+                             in_valid_mask, out_valid_mask, sentinel: int,
+                             chains: int = 1):
+    N = in_coords.shape[0]
+    M = out_coords.shape[0]
+    Ks, Ds = offs_s.shape
+    Kt, Dt = offs_t.shape
+    in_valid = in_valid_mask > 0
+    out_valid = out_valid_mask > 0
+    big = jnp.int32(1 << 20)
+
+    def frame(in_c, out_c, offs):
+        """Packing frame over one coordinate half (same rule as the full
+        builder: cover in-coords and the query range)."""
+        lo = jnp.minimum(
+            jnp.min(jnp.where(in_valid[:, None], in_c, big), axis=0),
+            jnp.min(jnp.where(out_valid[:, None], out_c, big), axis=0)
+            + jnp.min(offs, axis=0),
+        ).astype(jnp.int64)
+        hi = jnp.max(jnp.where(in_valid[:, None], in_c, -big), axis=0)
+        spans = jnp.maximum(hi.astype(jnp.int64) - lo + 1, 1)
+        strides = jnp.concatenate([
+            jnp.cumprod(spans[::-1])[::-1][1:], jnp.ones((1,), jnp.int64)])
+        return lo, spans, strides
+
+    s_in, t_in = in_coords[:, :Ds], in_coords[:, Ds:]
+    s_out, t_out = out_coords[:, :Ds], out_coords[:, Ds:]
+    s_lo, s_spans, s_strides = frame(s_in, s_out, offs_s)
+    t_lo, t_spans, t_strides = frame(t_in, t_out, offs_t)
+
+    s_keys = jnp.sum((s_in.astype(jnp.int64) - s_lo) * s_strides, axis=-1)
+    s_keys = jnp.where(in_valid, s_keys, jnp.int64(2 ** 62))
+    t_keys = jnp.sum((t_in.astype(jnp.int64) - t_lo) * t_strides, axis=-1)
+
+    s_out_rel = s_out.astype(jnp.int64) - s_lo
+    t_out_rel = t_out.astype(jnp.int64) - t_lo
+    s_out_key = jnp.sum(s_out_rel * s_strides, axis=-1)           # [M]
+    t_out_key = jnp.sum(t_out_rel * t_strides, axis=-1)           # [M]
+    s_off_key = jnp.sum(offs_s.astype(jnp.int64) * s_strides, axis=-1)
+    t_off_key = jnp.sum(offs_t.astype(jnp.int64) * t_strides, axis=-1)
+    qk_s = s_out_key[None, :] + s_off_key[:, None]                # [Ks, M]
+    # t target keys for every (kt, j): computed, never gathered
+    qk_t = t_out_key[None, :] + t_off_key[:, None]                # [Kt, M]
+
+    s_range = out_valid[None, :]
+    for d in range(Ds):
+        col = s_out_rel[:, d]
+        od = offs_s.astype(jnp.int64)[:, d:d + 1]
+        s_range = s_range & (col[None, :] >= -od) & (
+            col[None, :] < s_spans[d] - od)
+    t_range = jnp.ones((Kt, M), bool)
+    for d in range(Dt):
+        col = t_out_rel[:, d]
+        od = offs_t.astype(jnp.int64)[:, d:d + 1]
+        t_range = t_range & (col[None, :] >= -od) & (
+            col[None, :] < t_spans[d] - od)
+
+    # ---- exact fallback: full 6-D sorted join (only the cond branch
+    # taken pays for its gathers) ----
+    def sorted_path(_):
+        span_t_total = jnp.prod(t_spans)
+        keys6 = jnp.where(in_valid, s_keys * span_t_total + t_keys,
+                          jnp.int64(2 ** 62))
+        q6 = (qk_s * span_t_total)[:, None, :] + qk_t[None, :, :]
+        q6 = q6.reshape(Ks * Kt, M)
+        rng6 = (s_range[:, None, :] & t_range[None, :, :]).reshape(
+            Ks * Kt, M)
+        order = jnp.argsort(keys6)
+        keys_sorted = keys6[order]
+        pos = jnp.searchsorted(keys_sorted, q6.ravel()).reshape(q6.shape)
+        pos = jnp.minimum(pos, N - 1)
+        hit = (keys_sorted[pos] == q6) & rng6
+        return jnp.where(hit, order[pos].astype(jnp.int32), sentinel)
+
+    # ---- chained displacement hash over the SRC keys ----
+    IB = max(int(np.ceil(np.log2(max(N, 2)))), 1)
+    b = max(int(np.ceil(np.log2(max(8 * N, 16)))), 4)
+    T = 1 << b
+    rows = jnp.arange(N, dtype=jnp.int64)
+    entries = (s_keys << IB) | rows
+    key_fits = jnp.max(jnp.where(in_valid, s_keys, 0)) < (
+        jnp.int64(1) << (62 - IB))
+
+    def hash_of(k, mult):
+        u = k.astype(jnp.uint64) * jnp.uint64(mult)
+        return (u >> jnp.uint64(64 - b)).astype(jnp.int32)
+
+    tables = []
+    pending = in_valid
+    for c in range(chains):
+        for mult in _HASH_MULTS:
+            h = jnp.where(pending, hash_of(s_keys, mult), T)
+            t = jnp.full((T,), jnp.int64(_EMPTY_KEY)).at[h].set(
+                entries, mode="drop")
+            placed = pending & (t[jnp.minimum(h, T - 1)] == entries)
+            pending = pending & ~placed
+            tables.append((t, mult))
+    overflow = jnp.any(pending) | ~key_fits
+
+    def hash_path(_):
+        idx = jnp.full((Ks, Kt, M), sentinel, jnp.int32)
+        found = jnp.zeros((Ks, Kt, M), bool)
+        for t, mult in tables:
+            e = t[hash_of(qk_s, mult)]                        # [Ks, M] gather
+            s_hit = ((e >> IB) == qk_s) & s_range
+            cand = (e & ((jnp.int64(1) << IB) - 1)).astype(jnp.int32)
+            cand_safe = jnp.where(s_hit, cand, 0)
+            tk = t_keys[cand_safe]                            # [Ks, M] gather
+            # broadcast compare against all Kt t-offsets: no more gathers
+            m3 = (s_hit[:, None, :] & t_range[None, :, :]
+                  & (tk[:, None, :] == qk_t[None, :, :]))     # [Ks, Kt, M]
+            idx = jnp.where(m3 & ~found, cand_safe[:, None, :], idx)
+            found = found | m3
+        return idx.reshape(Ks * Kt, M)
+
+    return jax.lax.cond(overflow, sorted_path, hash_path, None)
+
+
 # ---------------------------------------------------------------------------
 # Full pyramid on device (drop-in for pyramid_to_arrays(build_pyramid(...)))
 # ---------------------------------------------------------------------------
@@ -236,24 +384,42 @@ def build_pyramid_arrays_device(
         cpad_l.append(jnp.asarray(c_pad))
         mask_l.append(jnp.asarray(mask))
 
+    # 6-D hypercube maps use the separable SRC/TGT probe when the in-side
+    # src-part multiplicity allows (host-known: level coords are built
+    # here). chains*3 hash tables hold up to chains*3 duplicates of one
+    # src key; beyond that the full-key probe stays exact anyway.
+    split_chains = []
+    for l, c in enumerate(level_coords):
+        if dim == 6 and region == "hypercube" and len(c):
+            _, counts = np.unique(c[:, :3], axis=0, return_counts=True)
+            split_chains.append(-(-int(counts.max()) // 3))
+        else:
+            split_chains.append(0)
+
+    def probe(l_in, l_out, kernel_size, t_stride):
+        chains = split_chains[l_in]
+        if kernel_size == 3 and 1 <= chains <= 3:
+            k3s = jnp.asarray(offs_fn(3, 3, t_stride))
+            return device_kernel_map_split(
+                cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
+                mask_l[l_out], sentinel=cap_l[l_in], chains=chains)
+        k = offs_fn(kernel_size, dim, t_stride)
+        return device_kernel_map(
+            cpad_l[l_in], cpad_l[l_out], jnp.asarray(k), mask_l[l_in],
+            mask_l[l_out], sentinel=cap_l[l_in])
+
     # Phase 1: dispatch EVERY probe before the first host fetch — the
     # prune decision needs a [K]-bool from each map, and fetching eagerly
     # would idle the device through one relay round trip per map.
     jobs = []   # (array key, level of the input side, kernel volume, nbr)
     for l in range(num_levels):
-        k3 = offs_fn(3, dim, 2 ** l)
-        jobs.append((f"self_{l}", l, len(k3), device_kernel_map(
-            cpad_l[l], cpad_l[l], jnp.asarray(k3), mask_l[l], mask_l[l],
-            sentinel=cap_l[l])))
+        kv = len(offs_fn(3, dim, 1))
+        jobs.append((f"self_{l}", l, kv, probe(l, l, 3, 2 ** l)))
         if l + 1 < num_levels:
-            jobs.append((f"down_{l}", l, len(k3), device_kernel_map(
-                cpad_l[l], cpad_l[l + 1], jnp.asarray(k3), mask_l[l],
-                mask_l[l + 1], sentinel=cap_l[l])))
+            jobs.append((f"down_{l}", l, kv, probe(l, l + 1, 3, 2 ** l)))
     if conv1_kernel_size != 3:
-        k1 = offs_fn(conv1_kernel_size, dim, 1)
-        jobs.append(("conv1", 0, len(k1), device_kernel_map(
-            cpad_l[0], cpad_l[0], jnp.asarray(k1), mask_l[0], mask_l[0],
-            sentinel=cap_l[0])))
+        kv1 = len(offs_fn(conv1_kernel_size, dim, 1))
+        jobs.append(("conv1", 0, kv1, probe(0, 0, conv1_kernel_size, 1)))
 
     # Phase 2: one batched fetch of all prune vectors.
     nonempty = {}
