@@ -209,14 +209,24 @@ class DeepGlobalRegistration:
                             granule=granule)
         return pyramid_to_arrays(pyr)
 
-    def fcgf_features(self, coords: np.ndarray):
-        """FCGF descriptor extraction on one voxelized cloud (ref :187-195)."""
+    def _fcgf_features_device(self, coords: np.ndarray):
+        """Dispatch FCGF extraction; returns (features, mask) ON DEVICE.
+
+        The 3-D pyramid build needs no host fetch (no offset pruning), so
+        calling this for both clouds overlaps their probe + conv work and
+        the caller pays ONE relay sync for the whole front half.
+        """
         arrays = self._pyramid_arrays(
             coords, conv1_kernel_size=7,
             granule=self.config.voxel_cap_granule)
         cap0 = arrays["mask_0"].shape[0]
         feats = jnp.ones((cap0, 1), jnp.float32)
         out = self._fcgf_apply(self.fcgf_vars, feats, arrays)
+        return out, arrays["mask_0"]
+
+    def fcgf_features(self, coords: np.ndarray):
+        """FCGF descriptor extraction on one voxelized cloud (ref :187-195)."""
+        out, _ = self._fcgf_features_device(coords)
         return np.asarray(out)[: len(coords)]
 
     def feature_matching(self, F0: np.ndarray, F1: np.ndarray):
@@ -272,9 +282,23 @@ class DeepGlobalRegistration:
         pts0 = np.asarray(xyz0)[sel0]
         pts1 = np.asarray(xyz1)[sel1]
 
-        F0 = self.descriptor_features(coords0, pts0)
-        F1 = self.descriptor_features(coords1, pts1)
-        nn01 = self.feature_matching(F0, F1)
+        if cfg.descriptor == "fcgf":
+            # Dispatch BOTH pyramids + FCGF applies + the masked 1-NN
+            # before the single host fetch of the match indices — the two
+            # clouds' probe/conv work overlaps and the front half of the
+            # pipeline pays one relay sync instead of three.
+            F0_dev, _ = self._fcgf_features_device(coords0)
+            F1_dev, m1 = self._fcgf_features_device(coords1)
+            # padded rows are zero features; push them to +inf distance so
+            # they can never win the argmin
+            F1_masked = jnp.where(m1[:, None] > 0, F1_dev, 1e6)
+            idx_dev, _ = nearest_neighbor(F0_dev, F1_masked,
+                                          chunk=cfg.nn_chunk)
+            nn01 = np.asarray(idx_dev)[: len(coords0)]
+        else:
+            F0 = self.descriptor_features(coords0, pts0)
+            F1 = self.descriptor_features(coords1, pts1)
+            nn01 = self.feature_matching(F0, F1)
 
         corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
         logits = self.inlier_prediction(corr6d, p_image, q_image)
