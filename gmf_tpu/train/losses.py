@@ -131,19 +131,23 @@ def spectral_matching_loss(M, gt_labels, balanced: bool = True, mask=None):
     N = gt_M.shape[-1]
     eye = jnp.eye(N, dtype=M.dtype)
     gt_M = gt_M * (1.0 - eye)
-    cell_mask = 1.0 - eye
-    if mask is not None:
-        pair = mask[:, None, :] * mask[:, :, None]
-        gt_M = gt_M * pair
-        cell_mask = cell_mask * pair
+    pair = (jnp.ones_like(gt_M) if mask is None
+            else mask[:, None, :] * mask[:, :, None])
+    gt_M = gt_M * pair
     if balanced:
-        pos = jnp.sum((M - 1.0) ** 2 * gt_M * cell_mask, axis=(-2, -1))
-        npos = jax.nn.relu(jnp.sum(gt_M * cell_mask, axis=(-2, -1)) - 1.0) + 1.0
-        neg_M = (1.0 - gt_M) * cell_mask
+        # NOTE: the reference's NEGATIVE term does not exclude the
+        # diagonal (libs/loss.py:133-134): the model zeroes M's diagonal
+        # so the numerator is unaffected, but the denominator counts the
+        # N diagonal cells. Reproduced exactly (verified numerically in
+        # tests/test_reference_parity_ops.py).
+        pos = jnp.sum((M - 1.0) ** 2 * gt_M, axis=(-2, -1))
+        npos = jax.nn.relu(jnp.sum(gt_M, axis=(-2, -1)) - 1.0) + 1.0
+        neg_M = (1.0 - gt_M) * pair
         neg = jnp.sum(M ** 2 * neg_M, axis=(-2, -1))
         nneg = jax.nn.relu(jnp.sum(neg_M, axis=(-2, -1)) - 1.0) + 1.0
         return jnp.mean(0.5 * pos / npos + 0.5 * neg / nneg)
-    return jnp.sum(((M - gt_M) ** 2) * cell_mask) / jnp.sum(cell_mask)
+    # unbalanced: plain MSE over ALL cells (libs/loss.py:137 MSELoss)
+    return jnp.sum(((M - gt_M) ** 2) * pair) / jnp.sum(pair)
 
 
 # ---------------------------------------------------------------------------

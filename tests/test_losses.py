@@ -53,15 +53,16 @@ class TestSpectralMatchingLoss:
         M = rng.rand(2, N, N).astype(np.float32)
         labels = (rng.rand(2, N) > 0.5).astype(np.float32)
         got = float(spectral_matching_loss(jnp.asarray(M), jnp.asarray(labels)))
-        # NumPy oracle replicating libs/loss.py:120-139
+        # NumPy oracle replicating libs/loss.py:120-139 EXACTLY: the
+        # reference's negative term does NOT exclude the diagonal (the
+        # model zeroes M's diag, so only the denominator feels it; see
+        # also tests/test_reference_parity_ops.py vs the actual code)
         gt_M = ((labels[:, None, :] + labels[:, :, None]) == 2).astype(np.float32)
         for i in range(2):
             np.fill_diagonal(gt_M[i], 0)
-        # the diagonal of (1 - gt_M) must also be excluded, as M's diag is 0
-        off = 1 - np.eye(N)
         pos = ((M - 1) ** 2 * gt_M).sum((-2, -1)) / (
             np.maximum(gt_M.sum((-2, -1)) - 1, 0) + 1)
-        neg_M = (1 - gt_M) * off
+        neg_M = 1 - gt_M
         neg = (M ** 2 * neg_M).sum((-2, -1)) / (
             np.maximum(neg_M.sum((-2, -1)) - 1, 0) + 1)
         expect = (0.5 * pos + 0.5 * neg).mean()
