@@ -25,12 +25,17 @@ def instance_norm_tokens(x, eps: float = 1e-3):
 
 
 class ContextNormalization(nn.Module):
-    """Whiten over the token axis (common.py:112-121, var_eps=1e-3)."""
+    """Whiten over the token axis (common.py:112-121, var_eps=1e-3).
+
+    NOTE: torch.var defaults to the UNBIASED estimator (ddof=1) — unlike
+    torch InstanceNorm1d, which is biased. Verified numerically against
+    the reference in tests/test_reference_parity_ops.py.
+    """
 
     @nn.compact
     def __call__(self, x):
         mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.var(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True, ddof=1)
         return (x - mean) / jnp.sqrt(var + 1e-3)
 
 

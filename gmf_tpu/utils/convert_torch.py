@@ -215,3 +215,54 @@ def convert_pointdsc(sd: Dict[str, np.ndarray], num_layers: int = 12):
     params["classification_2"] = _dense(sd, "classification.4")
 
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# OANet (reference models/OANet.py:89-156, act_pos='post')
+# ---------------------------------------------------------------------------
+
+
+def convert_oanet(sd: Dict[str, np.ndarray], num_layers: int = 6):
+    """Map an OANet state_dict onto gmf_tpu.models.oanet.OANet.
+
+    Reference Sequential layouts (post-activation):
+    - l1_1: [Conv(in,C)] + nl//2 x [Conv, CN, BN, ReLU]
+    - l2:   nl//2 x OAFilter(conv1=[IN,BN,ReLU,Conv,T], conv2=[BN,ReLU,Conv],
+            conv3=[T,IN,BN,ReLU,Conv])
+    - l1_2: [Conv(2C,C)] + (nl//2-1) x [Conv, CN, BN, ReLU]
+    - down1/up1: conv=[IN,BN,ReLU,Conv]; output: Conv(C,1).
+    """
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def stack(prefix, dst, n_blocks):
+        for i in range(n_blocks):
+            base = 1 + 4 * i
+            p[f"{dst}_conv_{i}"] = _dense(sd, f"{prefix}.{base}")
+            p[f"{dst}_bn_{i}"], bs[f"{dst}_bn_{i}"] = _bn(
+                sd, f"{prefix}.{base + 2}")
+
+    p["layer0"] = _dense(sd, "l1_1.0")
+    stack("l1_1", "l1_1", num_layers // 2)
+    for name in ("down1", "up1"):
+        blk_p: Dict[str, Any] = {"proj": _dense(sd, f"{name}.conv.3")}
+        blk_bs: Dict[str, Any] = {}
+        blk_p["bn"], blk_bs["bn"] = _bn(sd, f"{name}.conv.1")
+        p[name] = blk_p
+        bs[name] = blk_bs
+    for i in range(num_layers // 2):
+        oa_p: Dict[str, Any] = {
+            "conv1": _dense(sd, f"l2.{i}.conv1.3"),
+            "conv2": _dense(sd, f"l2.{i}.conv2.2"),
+            "conv3": _dense(sd, f"l2.{i}.conv3.4"),
+        }
+        oa_bs: Dict[str, Any] = {}
+        oa_p["bn1"], oa_bs["bn1"] = _bn(sd, f"l2.{i}.conv1.1")
+        oa_p["bn2"], oa_bs["bn2"] = _bn(sd, f"l2.{i}.conv2.0")
+        oa_p["bn3"], oa_bs["bn3"] = _bn(sd, f"l2.{i}.conv3.2")
+        p[f"oa_{i}"] = oa_p
+        bs[f"oa_{i}"] = oa_bs
+    p["l1_2_in"] = _dense(sd, "l1_2.0")
+    stack("l1_2", "l1_2", num_layers // 2 - 1)
+    p["output"] = _dense(sd, "output")
+    return {"params": p, "batch_stats": bs}

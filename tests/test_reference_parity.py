@@ -188,6 +188,40 @@ class TestFusionLayerParity:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestOANetParity:
+    def test_truncated_forward(self, ref, rng):
+        """The reference's OANet forward (models/OANet.py:146-156) is
+        truncated to return the l1_2 features; compare the full encoder
+        path (diff_pool -> OAFilters -> diff_unpool -> l1_2)."""
+        import models.OANet as ref_oanet
+
+        from gmf_tpu.models.oanet import OANet
+        from gmf_tpu.utils.convert_torch import convert_oanet
+
+        torch.manual_seed(17)
+        model = ref_oanet.OANet(in_dim=6, num_layers=6, num_channels=32,
+                                num_clusters=5)
+        # randomize BN running stats before eval-mode comparison
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                model({"corr_pos": _t(rng.randn(2, 50, 6)
+                                      .astype(np.float32))})
+        model.eval()
+        corr = rng.randn(2, 50, 6).astype(np.float32)
+        with torch.no_grad():
+            ref_out = model({"corr_pos": _t(corr)}).numpy()  # [B, C, N]
+
+        variables = convert_oanet(
+            {k: v.detach().numpy() for k, v in model.state_dict().items()},
+            num_layers=6)
+        mine = OANet(in_dim=6, num_layers=6, num_channels=32, num_clusters=5)
+        out = mine.apply(variables, jnp.asarray(corr))  # [B, N, C]
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 2, 1), ref_out,
+            atol=2e-5, rtol=1e-4)
+
+
 class TestImageEncoderParity:
     def test_resnet34_trunk(self, ref, rng):
         """The reference's own ResNet-34 (models/resnet.py:195-216 forward:
