@@ -49,3 +49,50 @@ class TestRedwood:
         assert len(ds) == 3
         assert ds[0]["xyz"].shape == (20, 3)
         assert ds.gt_trajectory() is None
+
+    def test_pair_dataset(self, tmp_path, rng):
+        """RedwoodPairDataset: poses -> relative GT, overlap filter,
+        mutual-NN correspondences with correct labels (Redwood.py:9-236)."""
+        from gmf_tpu.data.redwood import RedwoodPairDataset
+
+        scene = "livingroom1-simulated"
+        frag_dir = tmp_path / scene / "fragments"
+        os.makedirs(frag_dir)
+        base = rng.rand(120, 3).astype(np.float32) * 2
+        feat = rng.randn(120, 33).astype(np.float32)
+        poses = [np.eye(4)]
+        for ang in (0.3, 2.0):  # 3rd fragment far away: tiny overlap
+            T = np.eye(4)
+            T[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+            T[:3, 3] = [0.1 * ang, 0, 9.0 * (ang > 1)]
+            poses.append(T)
+        far = base + np.array([50.0, 0, 0], np.float32)  # disjoint region
+        for i, T in enumerate(poses):
+            # fragment i = its world-space content expressed in frame i
+            # (pose maps fragment -> world): xyz_i = inv(T) @ world
+            world = base if i < 2 else far
+            inv = np.linalg.inv(T)
+            xyz = (world @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+            np.savez(frag_dir / f"fragment_{i:03d}_fpfh.npz",
+                     xyz=xyz, feature=feat)
+            np.save(frag_dir / f"fragment_{i:03d}.npy", T)
+
+        ds = RedwoodPairDataset(str(tmp_path), scene, descriptor="fpfh",
+                                min_overlap=0.3, num_node="all",
+                                rng=np.random.RandomState(0))
+        # pair (0,1) overlaps fully; pairs with fragment 2 are 9 m away
+        assert ds.keys == [f"{scene}@0_1"]
+        assert (tmp_path / f"{scene}-overlap.pkl").exists()
+        s = ds[0]
+        # identical features -> identity matches -> all labels inlier
+        assert s["labels"].mean() == 1.0
+        warped = s["src_keypts"] @ s["gt_trans"][:3, :3].T \
+            + s["gt_trans"][:3, 3]
+        np.testing.assert_allclose(warped, s["tgt_keypts"], atol=1e-4)
+        # overlap cache is honored on reload (no recompute)
+        ds2 = RedwoodPairDataset(str(tmp_path), scene, descriptor="fpfh",
+                                 min_overlap=0.0, num_node=50,
+                                 rng=np.random.RandomState(0))
+        assert len(ds2) == 3
+        assert len(ds2[1]["src_keypts"]) <= 50 + 1
