@@ -5,10 +5,12 @@
 native:
 	$(MAKE) -C cpp/pmc
 	$(MAKE) -C cpp/kernelmap
+	$(MAKE) -C cpp/gcransac
 
 clean:
 	$(MAKE) -C cpp/pmc clean
 	$(MAKE) -C cpp/kernelmap clean
+	$(MAKE) -C cpp/gcransac clean
 
 test:
 	python -m pytest tests/ -q

@@ -2,11 +2,11 @@
 
 Parity: GMF_PointDSC/baseline_scripts/baseline_3DMatch.py /
 baseline_KITTI.py — SM (spectral matching :19-54), PMC (max-clique
-:56-78), RANSAC (:80-100), GC-RANSAC (:101-125, gated: needs the external
-pygcransac wheel, absent here as in any clean environment).
+:56-78), RANSAC (:80-100), GC-RANSAC (:101-125 — pygcransac when the
+wheel is installed, else the first-party native solver in cpp/gcransac).
 
-All JAX except PMC's clique search (native C++, cpp/pmc) and the edge-list
-construction.
+All JAX except PMC's clique search (native C++, cpp/pmc), GC-RANSAC's
+native solver (cpp/gcransac), and the edge-list construction.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ class BaselineUnavailable(RuntimeError):
     """A baseline's external dependency is missing (e.g. pygcransac)."""
 
 
-def gcransac_available() -> bool:
+def _pygcransac_available() -> bool:
     try:
         import pygcransac  # noqa: F401
         return True
@@ -36,22 +36,48 @@ def gcransac_available() -> bool:
         return False
 
 
+def gcransac_available() -> bool:
+    """GC-RANSAC runs through the external pygcransac wheel when present
+    (exact reference parity) or the first-party native solver
+    (cpp/gcransac, built from source on first use)."""
+    if _pygcransac_available():
+        return True
+    from gmf_tpu.utils.gcransac import native_available
+
+    return native_available()
+
+
 def gcransac_register(src_keypts, tgt_keypts, inlier_threshold: float,
                       max_iteration: int = 5000
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """GC-RANSAC baseline (ref baseline_3DMatch.py:101-125; needs the
-    external pygcransac wheel — gate with ``gcransac_available()``)."""
-    import pygcransac
+    """GC-RANSAC baseline (ref baseline_3DMatch.py:101-125).
 
+    Uses pygcransac when the wheel is installed (the reference's exact
+    dependency); otherwise the native reimplementation
+    (gmf_tpu/utils/gcransac.py -> cpp/gcransac/gcransac_rigid.cpp) with
+    the same call parameters (conf 0.99999999, spatial coherence 0.1).
+    """
     src = np.asarray(src_keypts, np.float64)
     tgt = np.asarray(tgt_keypts, np.float64)
-    pose, mask = pygcransac.findRigidTransform(
-        src, tgt, threshold=inlier_threshold, conf=0.99999999,
-        spatial_coherence_weight=0.1, max_iters=max_iteration,
-        use_sprt=True, min_inlier_ratio_for_sprt=0.1)
+    if _pygcransac_available():
+        import pygcransac
+
+        pose, mask = pygcransac.findRigidTransform(
+            src, tgt, threshold=inlier_threshold, conf=0.99999999,
+            spatial_coherence_weight=0.1, max_iters=max_iteration,
+            use_sprt=True, min_inlier_ratio_for_sprt=0.1)
+        if mask.sum() == 0:
+            pose = np.eye(4)
+        return pose.T.astype(np.float32), np.asarray(mask, np.float32)
+
+    from gmf_tpu.utils.gcransac import gcransac_rigid
+
+    pose, mask = gcransac_rigid(
+        src, tgt, threshold=inlier_threshold,
+        spatial_coherence_weight=0.1, max_iters=max_iteration)
     if mask.sum() == 0:
-        pose = np.eye(4)
-    return pose.T.astype(np.float32), np.asarray(mask, np.float32)
+        pose = np.eye(4, dtype=np.float32)
+    return pose, mask
 
 
 def sm_register(corr_pos, src_keypts, tgt_keypts, inlier_threshold: float,
@@ -130,8 +156,8 @@ def make_baseline_register_fn(method: str, inlier_threshold: float = 0.10,
         raise ValueError(f"unknown baseline {method!r}")
     if method == "GCRANSAC" and not gcransac_available():
         raise BaselineUnavailable(
-            "GC-RANSAC needs the external pygcransac wheel "
-            "(unavailable, as in the reference's default env)")
+            "GC-RANSAC needs either the pygcransac wheel or a C++ "
+            "toolchain to build the native solver (cpp/gcransac)")
 
     def register(pair: Dict[str, np.ndarray]):
         if method == "SM":

@@ -101,3 +101,9 @@ def test_baseline_eval_cli_skips_unavailable(fixture_tree, monkeypatch,
         assert "SKIPPED" in caplog.text
         assert not os.path.exists(os.path.join(out_dir,
                                                "GCRANSAC_stats.npy"))
+    else:
+        # native cpp/gcransac (or the wheel) ran under the harness and
+        # must register the easy fixture pair
+        stats = np.load(os.path.join(out_dir, "GCRANSAC_stats.npy"))
+        assert stats.shape == (1, 12)
+        assert stats[0, 0] == 1.0, ("GCRANSAC", stats[0])
