@@ -34,7 +34,7 @@ from gmf_tpu.geometry.kabsch import rigid_transform_3d
 from gmf_tpu.geometry.knn import nearest_neighbor
 from gmf_tpu.geometry.ransac import ransac_registration
 from gmf_tpu.geometry.se3 import integrate_trans
-from gmf_tpu.sparse.kernel_map import build_pyramid
+from gmf_tpu.sparse.kernel_map import _pad_cap, build_pyramid
 from gmf_tpu.sparse.resunet import (
     FCGFNet, GMFInlierNet, pyramid_to_arrays,
 )
@@ -172,6 +172,27 @@ class DeepGlobalRegistration:
         self._inlier_apply = jax.jit(
             lambda v, f, p, pi, qi: self.inlier.apply(
                 v, f, p, p_image=pi, q_image=qi))
+        self._solve = jax.jit(self._solve_impl)
+
+    @staticmethod
+    def _solve_impl(uniq_logits, inverse, src, tgt, valid, clip_thresh):
+        """Fused back half: per-corr logits gather -> sigmoid -> clip ->
+        weighted Procrustes -> SE(3) refinement, all in ONE dispatch.
+
+        Padded rows (valid=0) carry weight 0, which both
+        rigid_transform_3d and the refinement loss ignore exactly, so
+        bucketed caps never change the result. The wsum safeguard gate
+        (ref :330) is decided on the host AFTER this runs — on TPU the
+        Procrustes+refine compute is cheaper than the relay round trips
+        the reference's early gate would save.
+        """
+        logits = uniq_logits[inverse]
+        w = jax.nn.sigmoid(logits) * valid
+        w = jnp.where(w < clip_thresh, 0.0, w)
+        wsum = jnp.sum(w)
+        T0 = rigid_transform_3d(src[None], tgt[None], w[None])[0]
+        T, loss, iters = se3_refine(src, tgt, w, T0)
+        return T, wsum, w
 
     # -- pipeline stages ---------------------------------------------------
 
@@ -235,16 +256,15 @@ class DeepGlobalRegistration:
             jnp.asarray(F0), jnp.asarray(F1), chunk=self.config.nn_chunk)
         return np.asarray(idx)
 
-    def inlier_prediction(self, corr_coords6d: np.ndarray, p_image,
-                          q_image):
-        """6D sparse inlier net with image fusion (ref :248-260).
+    def _inlier_logits_device(self, corr_coords6d: np.ndarray, p_image,
+                              q_image):
+        """Dispatch the 6D inlier net; returns (uniq_logits [cap] ON
+        DEVICE, inverse [N] host map from corrs to unique voxels).
 
-        corr_coords6d: [N, 6] int voxel coords (src ++ tgt).
-        Returns per-correspondence logits [N].
+        6D coords may repeat (several matches in the same voxel pair):
+        the net runs on unique coords and ``inverse`` maps logits back
+        (ME does the same through its coordinate manager).
         """
-        # 6D coords may repeat (several matches in the same voxel pair):
-        # run the net on unique coords, map logits back (ME does the same
-        # through its coordinate manager).
         uniq, first_idx, inverse = sparse_quantize(
             corr_coords6d.astype(np.float64), 1.0,
             return_index=True, return_inverse=True)
@@ -256,8 +276,18 @@ class DeepGlobalRegistration:
         logits = self._inlier_apply(
             self.inlier_vars, feats, arrays, jnp.asarray(p_image),
             jnp.asarray(q_image))
-        logits = np.asarray(logits)[: len(uniq), 0]
-        return logits[inverse]
+        return logits[:, 0], inverse
+
+    def inlier_prediction(self, corr_coords6d: np.ndarray, p_image,
+                          q_image):
+        """6D sparse inlier net with image fusion (ref :248-260).
+
+        corr_coords6d: [N, 6] int voxel coords (src ++ tgt).
+        Returns per-correspondence logits [N].
+        """
+        uniq_logits, inverse = self._inlier_logits_device(
+            corr_coords6d, p_image, q_image)
+        return np.asarray(uniq_logits)[inverse]
 
     def safeguard_registration(self, src, tgt, seed: int = 0):
         """RANSAC fallback (ref :262-279, 348-396; 80k iterations)."""
@@ -301,33 +331,40 @@ class DeepGlobalRegistration:
             nn01 = self.feature_matching(F0, F1)
 
         corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
-        logits = self.inlier_prediction(corr6d, p_image, q_image)
-        weights = 1.0 / (1.0 + np.exp(-logits))  # sigmoid
-        # clip (ref :321-326)
-        weights = np.where(weights < cfg.clip_weight_thresh, 0.0, weights)
-
+        # Back half, fused: inlier logits -> sigmoid -> clip (ref
+        # :321-326) -> Procrustes -> SE(3) refine run as ONE dispatch on
+        # bucket-padded shapes (no per-N recompiles), then one batched
+        # fetch of (T, wsum, weights).
+        uniq_logits, inverse = self._inlier_logits_device(
+            corr6d, p_image, q_image)
         src = pts0
         tgt = pts1[nn01]
-        wsum = float(weights.sum())
         n = len(src)
+        cap = _pad_cap(n, cfg.corr_cap_granule)
+        inv_pad = np.zeros(cap, np.int32)
+        inv_pad[:n] = inverse
+        src_pad = np.zeros((cap, 3), np.float32)
+        src_pad[:n] = src
+        tgt_pad = np.zeros((cap, 3), np.float32)
+        tgt_pad[:n] = tgt
+        valid = (np.arange(cap) < n).astype(np.float32)
+        T_dev, wsum_dev, w_dev = self._solve(
+            uniq_logits, jnp.asarray(inv_pad), jnp.asarray(src_pad),
+            jnp.asarray(tgt_pad), jnp.asarray(valid),
+            jnp.float32(cfg.clip_weight_thresh))
+        T, wsum, weights = jax.device_get((T_dev, wsum_dev, w_dev))
+        T = np.asarray(T)
+        wsum = float(wsum)
+        weights = np.asarray(weights)[:n]
+
         used_safeguard = False
         min_w = max(cfg.safeguard_min_weight, cfg.safeguard_min_frac * n)
-
-        if not np.isfinite(wsum) or wsum < min_w:
-            # wsum gate -> RANSAC safeguard (ref :330, 348-396)
+        if (not np.isfinite(wsum) or wsum < min_w
+                or not np.all(np.isfinite(T))):
+            # wsum gate / NaN-T detection -> RANSAC safeguard
+            # (ref :330, 348-396)
             T = self.safeguard_registration(src, tgt)
             used_safeguard = True
-        else:
-            T0 = np.asarray(rigid_transform_3d(
-                jnp.asarray(src)[None], jnp.asarray(tgt)[None],
-                jnp.asarray(weights)[None])[0])
-            T, loss, iters = se3_refine(
-                jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(weights),
-                jnp.asarray(T0))
-            T = np.asarray(T)
-            if not np.all(np.isfinite(T)):  # NaN-T detection (ref :348-360)
-                T = self.safeguard_registration(src, tgt)
-                used_safeguard = True
 
         if cfg.use_icp:
             T = np.asarray(icp_refine(
