@@ -41,22 +41,54 @@ from gmf_tpu.sparse.kernel_map import (
 
 # Fibonacci-style multiplicative hash constants (distinct odd 64-bit)
 _HASH_MULTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD)
+_HASH_MULTS32 = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)
 _EMPTY_KEY = -(2 ** 62)  # packed query keys are bounded far above this
+_EMPTY_KEY32 = -(2 ** 30)
+
+
+def _int32_frame_fits(in_coords: np.ndarray, out_coords: np.ndarray,
+                      slack: int, cap: int, with_rows: bool = True) -> bool:
+    """Host-side check that packed keys for this (in, out, offsets) frame
+    fit int32 — conservatively bounds the device-computed packing frame.
+
+    ``slack`` = max |offset| per dimension. ``with_rows``: the hash-table
+    entries pack (key << IB | row), so keys must fit 31 - IB bits; t-part
+    verify keys are compared bare and only need 31 bits.
+
+    int32 keys halve gather bytes and skip the TPU's int64 emulation —
+    the probes are gather-bound, so this is ~2x on the hot path.
+    """
+    if len(in_coords) == 0 or len(out_coords) == 0:
+        return False
+    lo = np.minimum(in_coords.min(0), out_coords.min(0) - slack)
+    spans = np.maximum(in_coords.max(0).astype(np.int64) - lo + 1, 1)
+    prod = 1
+    for s in spans:
+        prod *= int(s)
+        if prod >= 2 ** 40:
+            return False
+    bits = 31
+    if with_rows:
+        bits -= max(int(np.ceil(np.log2(max(cap, 2)))), 1)
+    return prod < (1 << bits)
 
 
 def device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
-                      out_valid_mask, sentinel: int, method: str = "hash"):
+                      out_valid_mask, sentinel: int, method: str = "hash",
+                      compact: bool = False):
     """Public wrapper: runs the jitted body under a scoped x64 context so
     the int64 key packing is real (JAX defaults to 32-bit ints)."""
     with jax.enable_x64():
         return _device_kernel_map(in_coords, out_coords, offsets,
                                   in_valid_mask, out_valid_mask,
-                                  sentinel=sentinel, method=method)
+                                  sentinel=sentinel, method=method,
+                                  compact=compact)
 
 
-@partial(jax.jit, static_argnames=("sentinel", "method"))
+@partial(jax.jit, static_argnames=("sentinel", "method", "compact"))
 def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
-                       out_valid_mask, sentinel: int, method: str = "hash"):
+                       out_valid_mask, sentinel: int, method: str = "hash",
+                       compact: bool = False):
     """Dense per-offset neighbor table, computed on device.
 
     Args:
@@ -71,6 +103,10 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
         query; falls back in-graph to the sorted path on the ~never event
         of an unplaceable key) or 'sort' (binary search, log2(N) gather
         rounds — measured 4x slower on v5e at 6-D scale).
+      compact: run the hash tables/probes on int32 keys (caller must
+        guarantee the packing frame fits via ``_int32_frame_fits``; an
+        in-graph key_fits check still falls back to the exact sorted path
+        if violated). ~2x on the gather-bound probe.
 
     Returns nbr [K, M] int32.
     """
@@ -121,7 +157,7 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
 
     # ---- 3-table displacement hash ----------------------------------
     # Each table has one slot per bucket; an entry packs (key << IB | row)
-    # into one int64 so a probe is ONE flat [K, M] gather + shift-compare
+    # into one integer so a probe is ONE flat [K, M] gather + shift-compare
     # (a [*, slots] bucket layout would lane-pad the minor dim 8 -> 128 on
     # TPU: 16x the HBM traffic — measured OOM at 6-D scale). Keys losing
     # a slot race cascade to the next table; the <=2e-6-probability
@@ -130,21 +166,30 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
     IB = max(int(np.ceil(np.log2(max(N, 2)))), 1)   # row-id bits
     b = max(int(np.ceil(np.log2(max(8 * N, 16)))), 4)
     T = 1 << b
-    rows = jnp.arange(N, dtype=jnp.int64)
-    entries = (keys << IB) | rows
+    key_bits = (31 if compact else 62) - IB
     key_fits = jnp.max(jnp.where(in_valid, keys, 0)) < (
-        jnp.int64(1) << (62 - IB))
+        jnp.int64(1) << key_bits)
+    if compact:
+        kdtype, empty, mults = jnp.int32, _EMPTY_KEY32, _HASH_MULTS32
+    else:
+        kdtype, empty, mults = jnp.int64, _EMPTY_KEY, _HASH_MULTS
+    keys_c = keys.astype(kdtype)
+    qkeys_c = qkeys.astype(kdtype)
+    rows = jnp.arange(N, dtype=kdtype)
+    entries = (keys_c << IB) | rows
 
     def hash_of(k, mult):
+        if compact:
+            u = k.astype(jnp.uint32) * jnp.uint32(mult)
+            return (u >> jnp.uint32(32 - b)).astype(jnp.int32)
         u = k.astype(jnp.uint64) * jnp.uint64(mult)
         return (u >> jnp.uint64(64 - b)).astype(jnp.int32)
 
     tables = []
     pending = in_valid
-    for mult in _HASH_MULTS:
-        h = jnp.where(pending, hash_of(keys, mult), T)  # OOB -> drop
-        t = jnp.full((T,), jnp.int64(_EMPTY_KEY)).at[h].set(
-            entries, mode="drop")
+    for mult in mults:
+        h = jnp.where(pending, hash_of(keys_c, mult), T)  # OOB -> drop
+        t = jnp.full((T,), kdtype(empty)).at[h].set(entries, mode="drop")
         placed = pending & (t[jnp.minimum(h, T - 1)] == entries)
         pending = pending & ~placed
         tables.append(t)
@@ -153,9 +198,9 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
     def hash_path(_):
         hit = jnp.zeros(qkeys.shape, bool)
         idx = jnp.zeros(qkeys.shape, jnp.int32)
-        for t, mult in zip(tables, _HASH_MULTS):
-            e = t[hash_of(qkeys, mult)]             # [K, M] flat gather
-            h = (e >> IB) == qkeys
+        for t, mult in zip(tables, mults):
+            e = t[hash_of(qkeys_c, mult)]           # [K, M] flat gather
+            h = (e >> IB) == qkeys_c
             idx = jnp.where(h & ~hit,
                             (e & ((1 << IB) - 1)).astype(jnp.int32), idx)
             hit = hit | h
@@ -166,7 +211,7 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
 
 def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
                             in_valid_mask, out_valid_mask, sentinel: int,
-                            chains: int = 1):
+                            chains: int = 1, compact: bool = False):
     """Separable 2x3-D probe for 6-D correspondence coordinates.
 
     A 6-D voxel is a (src, tgt) coordinate pair and the hypercube offset
@@ -190,13 +235,14 @@ def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
     with jax.enable_x64():
         return _device_kernel_map_split(
             in_coords, out_coords, offs_s, offs_t, in_valid_mask,
-            out_valid_mask, sentinel=sentinel, chains=chains)
+            out_valid_mask, sentinel=sentinel, chains=chains,
+            compact=compact)
 
 
-@partial(jax.jit, static_argnames=("sentinel", "chains"))
+@partial(jax.jit, static_argnames=("sentinel", "chains", "compact"))
 def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
                              in_valid_mask, out_valid_mask, sentinel: int,
-                             chains: int = 1):
+                             chains: int = 1, compact: bool = False):
     N = in_coords.shape[0]
     M = out_coords.shape[0]
     Ks, Ds = offs_s.shape
@@ -272,21 +318,36 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
     IB = max(int(np.ceil(np.log2(max(N, 2)))), 1)
     b = max(int(np.ceil(np.log2(max(8 * N, 16)))), 4)
     T = 1 << b
-    rows = jnp.arange(N, dtype=jnp.int64)
-    entries = (s_keys << IB) | rows
+    key_bits = (31 if compact else 62) - IB
     key_fits = jnp.max(jnp.where(in_valid, s_keys, 0)) < (
-        jnp.int64(1) << (62 - IB))
+        jnp.int64(1) << key_bits)
+    if compact:
+        # src-part keys are 3-D and almost always fit int32 even when the
+        # joint 6-D key cannot: half the gather bytes, no x64 emulation.
+        kdtype, empty, mults = jnp.int32, _EMPTY_KEY32, _HASH_MULTS32
+        key_fits = key_fits & (jnp.max(jnp.abs(t_keys)) < 2 ** 31 - 1)
+    else:
+        kdtype, empty, mults = jnp.int64, _EMPTY_KEY, _HASH_MULTS
+    s_keys_c = s_keys.astype(kdtype)
+    qk_s_c = qk_s.astype(kdtype)
+    t_keys_c = t_keys.astype(kdtype)
+    qk_t_c = qk_t.astype(kdtype)
+    rows = jnp.arange(N, dtype=kdtype)
+    entries = (s_keys_c << IB) | rows
 
     def hash_of(k, mult):
+        if compact:
+            u = k.astype(jnp.uint32) * jnp.uint32(mult)
+            return (u >> jnp.uint32(32 - b)).astype(jnp.int32)
         u = k.astype(jnp.uint64) * jnp.uint64(mult)
         return (u >> jnp.uint64(64 - b)).astype(jnp.int32)
 
     tables = []
     pending = in_valid
     for c in range(chains):
-        for mult in _HASH_MULTS:
-            h = jnp.where(pending, hash_of(s_keys, mult), T)
-            t = jnp.full((T,), jnp.int64(_EMPTY_KEY)).at[h].set(
+        for mult in mults:
+            h = jnp.where(pending, hash_of(s_keys_c, mult), T)
+            t = jnp.full((T,), kdtype(empty)).at[h].set(
                 entries, mode="drop")
             placed = pending & (t[jnp.minimum(h, T - 1)] == entries)
             pending = pending & ~placed
@@ -297,14 +358,14 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
         idx = jnp.full((Ks, Kt, M), sentinel, jnp.int32)
         found = jnp.zeros((Ks, Kt, M), bool)
         for t, mult in tables:
-            e = t[hash_of(qk_s, mult)]                        # [Ks, M] gather
-            s_hit = ((e >> IB) == qk_s) & s_range
-            cand = (e & ((jnp.int64(1) << IB) - 1)).astype(jnp.int32)
+            e = t[hash_of(qk_s_c, mult)]                      # [Ks, M] gather
+            s_hit = ((e >> IB) == qk_s_c) & s_range
+            cand = (e & ((1 << IB) - 1)).astype(jnp.int32)
             cand_safe = jnp.where(s_hit, cand, 0)
-            tk = t_keys[cand_safe]                            # [Ks, M] gather
+            tk = t_keys_c[cand_safe]                          # [Ks, M] gather
             # broadcast compare against all Kt t-offsets: no more gathers
             m3 = (s_hit[:, None, :] & t_range[None, :, :]
-                  & (tk[:, None, :] == qk_t[None, :, :]))     # [Ks, Kt, M]
+                  & (tk[:, None, :] == qk_t_c[None, :, :]))   # [Ks, Kt, M]
             idx = jnp.where(m3 & ~found, cand_safe[:, None, :], idx)
             found = found | m3
         return idx.reshape(Ks * Kt, M)
@@ -339,6 +400,10 @@ def _prune_and_pad_device(nbr, cap_in: int, kernel_volume: int,
     nonempty[kernel_volume // 2] = True                     # keep center
     kept = np.nonzero(nonempty)[0].astype(np.int32)
     target = min(-(-len(kept) // granule) * granule, K)
+    if len(kept) == K and target == K:
+        # nothing pruned (dense occupancy): the gather below would be an
+        # identity — skip the [K, M] HBM round trip entirely
+        return nbr, jnp.arange(K, dtype=jnp.int32)
     rows = np.full((target,), K, np.int32)                  # K = sentinel row
     rows[: len(kept)] = kept
     kept_pad = np.zeros((target,), np.int32)
@@ -392,21 +457,41 @@ def build_pyramid_arrays_device(
     for l, c in enumerate(level_coords):
         if dim == 6 and region == "hypercube" and len(c):
             _, counts = np.unique(c[:, :3], axis=0, return_counts=True)
-            split_chains.append(-(-int(counts.max()) // 3))
+            chains = -(-int(counts.max()) // 3)
+            # +1 chain of slack when duplicates exist: ceil(mult/3) is
+            # exactly tight, so a single slot-race loss to an unrelated
+            # key would leave a row unplaced and flip the WHOLE map to
+            # the sorted fallback (measured 6 s at 30k voxels — 50x the
+            # hash path). Three spare slots make that ~impossible.
+            split_chains.append(chains + 1 if chains >= 2 else chains)
         else:
             split_chains.append(0)
 
     def probe(l_in, l_out, kernel_size, t_stride):
         chains = split_chains[l_in]
-        if kernel_size == 3 and 1 <= chains <= 3:
+        in_c, out_c = level_coords[l_in], level_coords[l_out]
+        slack = t_stride * (kernel_size // 2)
+        # chains <= 13: the split probe gathers chains*3*2*27 elements
+        # per query column vs the full probe's 3*729 — equal cost at
+        # chains ~= 13 (measured: split ch=7 is ~1.7x faster than full at
+        # M=8192 on v5e even before the int32 packing). Beyond that the
+        # full probe wins.
+        if kernel_size == 3 and 1 <= chains <= 13:
             k3s = jnp.asarray(offs_fn(3, 3, t_stride))
+            comp = (_int32_frame_fits(in_c[:, :3], out_c[:, :3], slack,
+                                      cap_l[l_in], with_rows=True)
+                    and _int32_frame_fits(in_c[:, 3:], out_c[:, 3:], slack,
+                                          cap_l[l_in], with_rows=False))
             return device_kernel_map_split(
                 cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
-                mask_l[l_out], sentinel=cap_l[l_in], chains=chains)
+                mask_l[l_out], sentinel=cap_l[l_in], chains=chains,
+                compact=comp)
         k = offs_fn(kernel_size, dim, t_stride)
+        comp = _int32_frame_fits(in_c, out_c, slack, cap_l[l_in],
+                                 with_rows=True)
         return device_kernel_map(
             cpad_l[l_in], cpad_l[l_out], jnp.asarray(k), mask_l[l_in],
-            mask_l[l_out], sentinel=cap_l[l_in])
+            mask_l[l_out], sentinel=cap_l[l_in], compact=comp)
 
     # Phase 1: dispatch EVERY probe before the first host fetch — the
     # prune decision needs a [K]-bool from each map, and fetching eagerly

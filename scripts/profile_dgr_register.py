@@ -1,0 +1,170 @@
+"""Phase-level timing of the warm DGR register() path at its real sync
+points (the stage breakdown in bench_dgr_e2e.py re-runs stages standalone
+at unpadded shapes, which can include fresh compiles; this script mirrors
+register()'s exact dispatch/sync structure instead).
+
+Phases:
+  A  host voxelize x2
+  B  front half: pyramid probes + FCGF x2 + masked 1-NN, ONE fetch (idx)
+  C  host: corr6d concat + 6-D unique
+  D  6-D pyramid build (device probes + one batched prune fetch)
+  E  inlier net dispatch + fused solve dispatch + batched (T,wsum,w) fetch
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pts", type=int, default=40000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cloud", choices=["uniform", "surface"],
+                    default="uniform")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from gmf_tpu.models.dgr import DGRConfig, DeepGlobalRegistration
+    from gmf_tpu.sparse.kernel_map import _pad_cap, build_pyramid
+    from gmf_tpu.sparse.resunet import (
+        FCGFNet, GMFInlierNet, pyramid_to_arrays,
+    )
+    from gmf_tpu.sparse.voxelize import sparse_quantize
+
+    cfg = DGRConfig(device_kernel_maps=None if not args.cpu else False)
+    fcgf = FCGFNet(conv1_kernel_size=7)
+    inlier = GMFInlierNet()
+    H, W = cfg.image_hw
+
+    rng = np.random.RandomState(0)
+    if args.cloud == "surface":
+        side = (args.pts * 0.9) ** 0.5 * cfg.voxel_size
+        xy = rng.rand(args.pts, 2) * side
+        z = (0.3 * side * (np.sin(xy[:, 0] * 4 / side)
+                           + np.cos(xy[:, 1] * 5 / side)))
+        xyz0 = np.concatenate([xy, z[:, None]], 1).astype(np.float32)
+    else:
+        box = (args.pts * 0.7) ** (1 / 3) * cfg.voxel_size
+        xyz0 = (rng.rand(args.pts, 3) * box).astype(np.float32)
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, -0.2, 0.4], np.float32)
+    xyz1 = (xyz0 @ R.T + t + 0.3 * cfg.voxel_size *
+            rng.randn(args.pts, 3)).astype(np.float32)
+    p_img = np.zeros((1, H, W, 3), np.float32)
+    q_img = np.zeros((1, H, W, 3), np.float32)
+
+    c3 = np.unique(rng.randint(0, 10, (200, 3)).astype(np.int32), axis=0)
+    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=7,
+                                         granule=256))
+    fv = jax.jit(fcgf.init)(jax.random.PRNGKey(0),
+                            jnp.ones((a3["mask_0"].shape[0], 1)), a3)
+    c6 = np.unique(rng.randint(0, 6, (150, 6)).astype(np.int32), axis=0)
+    a6 = pyramid_to_arrays(build_pyramid(c6, 4, conv1_kernel_size=3,
+                                         granule=256))
+    iv = jax.jit(inlier.init)(
+        jax.random.PRNGKey(1), jnp.ones((a6["mask_0"].shape[0], 1)), a6,
+        p_image=jnp.asarray(p_img), q_image=jnp.asarray(q_img))
+    eng = DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
+                                 inlier_model=inlier)
+
+    print(f"backend: {jax.default_backend()}  "
+          f"device_maps: {cfg.use_device_maps()}")
+    t0 = time.perf_counter()
+    eng.register(xyz0, xyz1, p_img, q_img)
+    print(f"cold: {time.perf_counter() - t0:.1f} s")
+
+    for run in range(args.runs):
+        t0 = time.perf_counter()
+        coords0, sel0 = eng.preprocess(xyz0)
+        coords1, sel1 = eng.preprocess(xyz1)
+        pts0 = xyz0[sel0]
+        pts1 = xyz1[sel1]
+        tA = time.perf_counter()
+
+        from gmf_tpu.geometry.knn import nearest_neighbor
+        F0_dev, _ = eng._fcgf_features_device(coords0)
+        F1_dev, m1 = eng._fcgf_features_device(coords1)
+        F1_masked = jnp.where(m1[:, None] > 0, F1_dev, 1e6)
+        idx_dev, _ = nearest_neighbor(F0_dev, F1_masked, chunk=cfg.nn_chunk)
+        nn01 = np.asarray(idx_dev)[: len(coords0)]
+        tB = time.perf_counter()
+
+        corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
+        uniq, first_idx, inverse = sparse_quantize(
+            corr6d.astype(np.float64), 1.0, return_index=True,
+            return_inverse=True)
+        tC = time.perf_counter()
+
+        if run == 0:
+            from gmf_tpu.sparse.device_maps import _int32_frame_fits
+            from gmf_tpu.sparse.kernel_map import (
+                _pad_cap as _pc, downsample_coords)
+
+            lc = [uniq.astype(np.int32)]
+            for l in range(1, 4):
+                lc.append(downsample_coords(lc[l - 1], 2, 2 ** (l - 1)))
+            for l, c in enumerate(lc):
+                _, counts = np.unique(c[:, :3], axis=0, return_counts=True)
+                ch = -(-int(counts.max()) // 3)
+                ch = ch + 1 if ch >= 2 else ch   # builder's slack rule
+                cap = _pc(len(c), cfg.corr_cap_granule)
+                fits = (_int32_frame_fits(c[:, :3], c[:, :3], 2 ** l, cap)
+                        and _int32_frame_fits(c[:, 3:], c[:, 3:], 2 ** l,
+                                              cap, with_rows=False))
+                print(f"  level {l}: n={len(c)} cap={cap} "
+                      f"max_mult={int(counts.max())} chains={ch} "
+                      f"i32={fits} path="
+                      f"{'split' if 1 <= ch <= 13 else 'FULL'}")
+
+        arrays = eng._pyramid_arrays(uniq, conv1_kernel_size=3,
+                                     granule=cfg.corr_cap_granule)
+        tD = time.perf_counter()
+
+        cap0 = arrays["mask_0"].shape[0]
+        feats = jnp.ones((cap0, 1), jnp.float32)
+        logits = eng._inlier_apply(eng.inlier_vars, feats, arrays,
+                                   jnp.asarray(p_img), jnp.asarray(q_img))
+        uniq_logits = logits[:, 0]
+        n = len(pts0)
+        cap = _pad_cap(n, cfg.corr_cap_granule)
+        inv_pad = np.zeros(cap, np.int32)
+        inv_pad[:n] = inverse
+        src_pad = np.zeros((cap, 3), np.float32)
+        src_pad[:n] = pts0
+        tgt_pad = np.zeros((cap, 3), np.float32)
+        tgt_pad[:n] = pts1[nn01]
+        valid = (np.arange(cap) < n).astype(np.float32)
+        T_dev, wsum_dev, w_dev = eng._solve(
+            uniq_logits, jnp.asarray(inv_pad), jnp.asarray(src_pad),
+            jnp.asarray(tgt_pad), jnp.asarray(valid),
+            jnp.float32(cfg.clip_weight_thresh))
+        T, wsum, w = jax.device_get((T_dev, wsum_dev, w_dev))
+        tE = time.perf_counter()
+
+        print(f"run {run}: total {tE - t0:6.2f} s | "
+              f"A vox {tA - t0:5.2f} | B front {tB - tA:5.2f} | "
+              f"C uniq {tC - tB:5.2f} | D 6Dpyr {tD - tC:5.2f} | "
+              f"E net+solve {tE - tD:5.2f}  "
+              f"(voxels {len(coords0)}, uniq6d {len(uniq)})")
+
+
+if __name__ == "__main__":
+    main()

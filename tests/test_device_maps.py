@@ -14,11 +14,13 @@ def _compare(rng, dim, extent, n):
     host, _ = build_kernel_map(coords, coords, offs)
     N = len(coords)
     for method in ("hash", "sort"):
-        dev = np.asarray(device_kernel_map(
-            jnp.asarray(coords), jnp.asarray(coords), jnp.asarray(offs),
-            jnp.ones((N,), jnp.float32), jnp.ones((N,), jnp.float32),
-            sentinel=N, method=method))
-        np.testing.assert_array_equal(dev, host, err_msg=method)
+        for compact in (False, True):
+            dev = np.asarray(device_kernel_map(
+                jnp.asarray(coords), jnp.asarray(coords), jnp.asarray(offs),
+                jnp.ones((N,), jnp.float32), jnp.ones((N,), jnp.float32),
+                sentinel=N, method=method, compact=compact))
+            np.testing.assert_array_equal(
+                dev, host, err_msg=f"{method} compact={compact}")
 
 
 def test_matches_host_3d(rng):
@@ -39,12 +41,14 @@ class TestSplitProbe:
         N, M = len(coords), len(out_coords)
         from gmf_tpu.sparse.device_maps import device_kernel_map_split
 
-        dev = np.asarray(device_kernel_map_split(
-            jnp.asarray(coords), jnp.asarray(out_coords),
-            jnp.asarray(offs3), jnp.asarray(offs3),
-            jnp.ones((N,), jnp.float32), jnp.ones((M,), jnp.float32),
-            sentinel=N, chains=chains))
-        np.testing.assert_array_equal(dev, host)
+        for compact in (False, True):
+            dev = np.asarray(device_kernel_map_split(
+                jnp.asarray(coords), jnp.asarray(out_coords),
+                jnp.asarray(offs3), jnp.asarray(offs3),
+                jnp.ones((N,), jnp.float32), jnp.ones((M,), jnp.float32),
+                sentinel=N, chains=chains, compact=compact))
+            np.testing.assert_array_equal(
+                dev, host, err_msg=f"compact={compact}")
 
     def test_unique_src_level0(self, rng):
         # level-0 correspondence coords: src part unique by construction
@@ -69,6 +73,38 @@ class TestSplitProbe:
         tgt = np.unique(rng.randint(0, 12, (40, 3)).astype(np.int32), axis=0)
         coords = np.concatenate([src[: len(tgt)], tgt], axis=1)
         self._compare_split(coords, coords, chains=1)
+
+    def test_high_chains(self, rng):
+        # coarse-level multiplicity >3: chains in (4..8] must still be
+        # exact (the chains cap was raised so these levels stay on the
+        # split path instead of the 27x-more-queries full probe)
+        src = rng.randint(0, 2, (160, 3)).astype(np.int32)
+        tgt = rng.randint(0, 12, (160, 3)).astype(np.int32)
+        coords = np.unique(np.concatenate([src, tgt], axis=1), axis=0)
+        mult = np.unique(coords[:, :3], axis=0, return_counts=True)[1].max()
+        chains = -(-int(mult) // 3)
+        assert chains >= 4, f"fixture multiplicity too low ({mult})"
+        self._compare_split(coords, coords, chains=chains)
+
+    def test_compact_unfittable_falls_back_exact(self, rng):
+        # compact=True with coordinates whose packed keys exceed int32:
+        # the in-graph key_fits check must route to the exact sorted path
+        from gmf_tpu.sparse.device_maps import device_kernel_map_split
+
+        src = np.unique(rng.randint(0, 2000, (60, 3)).astype(np.int32),
+                        axis=0)  # 2000^3 ~ 8e9 >> 2^31: does not fit
+        tgt = rng.randint(0, 6, (len(src), 3)).astype(np.int32)
+        coords = np.concatenate([src, tgt], axis=1)
+        offs6 = hypercube_offsets(3, 6, 1)
+        offs3 = hypercube_offsets(3, 3, 1)
+        host, _ = build_kernel_map(coords, coords, offs6)
+        N = len(coords)
+        dev = np.asarray(device_kernel_map_split(
+            jnp.asarray(coords), jnp.asarray(coords),
+            jnp.asarray(offs3), jnp.asarray(offs3),
+            jnp.ones((N,), jnp.float32), jnp.ones((N,), jnp.float32),
+            sentinel=N, chains=1, compact=True))
+        np.testing.assert_array_equal(dev, host)
 
     def test_rectangular_down_map(self, rng):
         src = np.unique(rng.randint(0, 8, (100, 3)).astype(np.int32), axis=0)
