@@ -32,3 +32,22 @@ def test_pyramid_6d_pruned(rng):
 
 def test_pyramid_hypercross(rng):
     _compare(rng, 6, 8, 300, conv1_k=3, granule=128, region="hypercross")
+
+
+def test_pyramid_6d_degenerate_multiplicity(rng):
+    """Extreme src-part multiplicity (>39 pairs per src voxel) routes the
+    affected levels to the C++ host builder (hybrid build) — the output
+    must stay bit-equal to the all-host pyramid."""
+    src = rng.randint(0, 2, (500, 3)).astype(np.int32)  # ~60 per src part
+    tgt = rng.randint(0, 10, (500, 3)).astype(np.int32)
+    coords = np.unique(np.concatenate([src, tgt], axis=1), axis=0)
+    mult = np.unique(coords[:, :3], axis=0, return_counts=True)[1].max()
+    assert mult > 39, f"fixture multiplicity too low ({mult})"
+    host = pyramid_to_arrays(build_pyramid(
+        coords, 4, conv1_kernel_size=3, granule=64))
+    dev = build_pyramid_arrays_device(
+        coords, 4, conv1_kernel_size=3, granule=64)
+    assert set(host) == set(dev)
+    for k in sorted(host):
+        np.testing.assert_array_equal(
+            np.asarray(dev[k]), np.asarray(host[k]), err_msg=k)
