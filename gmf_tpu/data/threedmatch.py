@@ -247,6 +247,18 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
         gt_trans[:3, :3], gt_trans[:3, 3] = rot, tsl
 
         def resolve(p):
+            # Reference layout first (ThreeDMatch.py:512-524): entries are
+            # 'test/<scene>/cloud_bin_<id>.pth' and descriptors live under
+            # '{root}/fragments/<scene>/cloud_bin_<id>_<desc>.npz'.
+            parts = p.split("/")
+            if len(parts) >= 3:
+                scene, fname = parts[1], parts[-1]
+                stem = os.path.join(self.root, "fragments", scene,
+                                    fname.replace(".pth", "")
+                                         .replace(".ply", ""))
+                if os.path.exists(f"{stem}_{self.descriptor}.npz"):
+                    return stem
+            # fallback: path taken relative to root (fixture layout)
             stem = os.path.join(self.root, p)
             return stem.replace(".pth", "").replace(".ply", "")
 

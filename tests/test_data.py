@@ -150,3 +150,49 @@ class TestConfig:
         assert cfg2.model.inlier_threshold == 1.2
         assert cfg2.re_thre == 5.0
         assert cfg2.dataset == "Kitti"
+
+
+class TestLoMatchRealPairList:
+    """Drive ThreeDLoMatchTest against the reference's ACTUAL shipped
+    misc/3DLoMatch.pkl (1781 low-overlap pairs) — pair-list parsing,
+    reference directory layout, and GT-transform composition on the real
+    artifact (fragment .npz files are synthesized for two pairs)."""
+
+    REF_PKL = "/root/reference/GMF_PointDSC/misc/3DLoMatch.pkl"
+
+    def test_real_pair_list_parses(self, tmp_path, rng):
+        import pickle as pkl
+
+        if not os.path.exists(self.REF_PKL):
+            pytest.skip("reference 3DLoMatch.pkl not mounted")
+        from gmf_tpu.data.threedmatch import ThreeDLoMatchTest
+
+        with open(self.REF_PKL, "rb") as f:
+            infos = pkl.load(f)
+        assert len(infos["rot"]) == 1781  # the published benchmark size
+        # every pair is genuinely low-overlap (the 3DLoMatch definition:
+        # 10-30% fragment overlap)
+        ov = np.asarray(infos["overlap"])
+        assert ov.max() < 0.3 + 1e-6 and ov.min() > 0.0
+
+        # synthesize reference-layout fragments for the first pair:
+        # {root}/fragments/<scene>/cloud_bin_<id>_fcgf.npz
+        root = tmp_path / "lomatch_root"
+        first_src, first_tgt = infos["src"][0], infos["tgt"][0]
+        scene = first_src.split("/")[1]
+        os.makedirs(root / "fragments" / scene, exist_ok=True)
+        for p in (first_src, first_tgt):
+            stem = p.split("/")[-1].replace(".pth", "")
+            write_cloud(str(root / "fragments" / scene / stem), rng)
+
+        ds = ThreeDLoMatchTest(root=str(root), pair_file=self.REF_PKL,
+                               num_node=50, use_mutual=False,
+                               image_hw=(24, 32))
+        assert len(ds) == 1781
+        s = ds[0]
+        # gt_trans composes the pkl's rot/trans exactly
+        R = np.asarray(infos["rot"][0])
+        t = np.asarray(infos["trans"][0]).reshape(3)
+        np.testing.assert_allclose(s["gt_trans"][:3, :3], R, atol=1e-6)
+        np.testing.assert_allclose(s["gt_trans"][:3, 3], t, atol=1e-6)
+        assert s["corr_pos"].shape[1] == 6
