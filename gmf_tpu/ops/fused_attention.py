@@ -233,6 +233,12 @@ def _flash_fwd(qp, kp, vp, sp, tp, mp, sigma_sq, scale, bq, bk, interpret):
 def _flash_bwd(sigma_sq, scale, bq, bk, interpret, res, do):
     qp, kp, vp, sp, tp, mp, out, lse = res
     Np, D = qp.shape
+    # The backward keeps more tiles live than the forward; (256, 512) is
+    # its known VMEM-safe configuration, and Np (a multiple of the
+    # forward blocks) stays divisible by these smaller powers of two.
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        bq = min(bq, 256)
+        bk = min(bk, 512)
     nq_blocks = Np // bq
     nk_blocks = Np // bk
     mm_dtype = jnp.float32 if interpret else jnp.bfloat16
@@ -304,13 +310,26 @@ def _flash_bwd(sigma_sq, scale, bq, bk, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _default_blocks():
+    """Block sizes, overridable for tuning (GMF_FLASH_BLOCK_Q/K).
+
+    (512, 1024) is the VMEM-feasible optimum on v5e: the r2 sweep at
+    N=5000 b=64 measured 104 -> 118.8 pairs/s over (256, 512), and both
+    (512, 1280) and (640/1024) exceed the 16 MB scoped-vmem limit.
+    """
+    import os
+
+    return (int(os.environ.get("GMF_FLASH_BLOCK_Q", 512)),
+            int(os.environ.get("GMF_FLASH_BLOCK_K", 1024)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sigma_d", "block_q", "block_k", "interpret"),
 )
 def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
-                           sigma_d: float = 0.10, block_q: int = 256,
-                           block_k: int = 512, interpret: bool = False):
+                           sigma_d: float = 0.10, block_q: int = None,
+                           block_k: int = None, interpret: bool = False):
     """Single-head compat-modulated attention, one pair. Differentiable
     w.r.t. q/k/v (flash backward; keypoints/mask receive zero grads).
 
@@ -323,10 +342,27 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
     Returns [N, D] = softmax(compat * qk / sqrt(D)) @ v.
     """
     N, D = q.shape
-    bq = min(block_q, N)
-    bk = min(block_k, N)
-    # one padded size (lcm-ish: max block) keeps all arrays aligned
-    Np = N + ((-N) % max(bq, bk))
+    if interpret:
+        # no hardware tiling in interpret mode: small blocks keep the
+        # padded size near N (CPU tests) while still exercising the
+        # multi-block online-softmax path
+        dbq, dbk = 64, 128
+    else:
+        dbq, dbk = _default_blocks()
+    bq = block_q or dbq
+    bk = block_k or dbk
+    # Pad N up to a multiple of BOTH block sizes. Blocks are deliberately
+    # NOT clamped to N: a block clamped to a non-power-of-two N stops
+    # dividing the padded size and the grid silently drops query rows
+    # (regression: NaN output at N=300 with 256/512 blocks). For
+    # power-of-two blocks the max covers both; lcm otherwise.
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        align = max(bq, bk)
+    else:
+        import math
+
+        align = math.lcm(bq, bk)
+    Np = N + ((-N) % align)
 
     def padN(x):
         return jnp.pad(x, ((0, Np - N),) + ((0, 0),) * (x.ndim - 1))

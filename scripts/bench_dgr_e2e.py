@@ -36,6 +36,15 @@ def main():
                     help="uniform box (worst case: pyramid levels barely "
                          "merge) or a heightfield surface (realistic scan "
                          "geometry: coarser levels shrink like 3DMatch)")
+    ap.add_argument("--matches", choices=["fcgf", "oracle"],
+                    default="fcgf",
+                    help="fcgf: real 1-NN over the (untrained) descriptor "
+                         "features — matches are ~random, so the 6-D "
+                         "pyramid levels barely merge (worst case). "
+                         "oracle: plant ground-truth-correlated matches "
+                         "to reproduce the kernel-map workload a TRAINED "
+                         "descriptor yields (the production regime); the "
+                         "FCGF forwards and every other stage still run.")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="small nets + small pair (smoke)")
@@ -113,6 +122,32 @@ def main():
     engine = DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
                                     inlier_model=inlier)
     print(f"device_maps: {cfg.use_device_maps()}")
+
+    if args.matches == "oracle":
+        # Trained-descriptor simulation: the true correspondence of src
+        # voxel i is the nearest tgt voxel of its GT-warped position.
+        # The 1-NN stage is swapped for this precomputed oracle (its real
+        # cost is measured by the default mode); FCGF forwards, 6-D
+        # build, inlier net and the fused solve all run unchanged, so
+        # the timing reflects the kernel-map workload of CORRELATED
+        # matches — what a trained descriptor produces — instead of the
+        # random matches untrained weights give.
+        from scipy.spatial import cKDTree
+
+        import gmf_tpu.models.dgr as dgr_mod
+
+        c0, sel0 = engine.preprocess(xyz0)
+        c1, _ = engine.preprocess(xyz1)
+        warped = (xyz0[sel0] @ R.T + t) / cfg.voxel_size
+        _, oracle_idx = cKDTree(c1.astype(np.float64)).query(warped)
+        oracle_idx = oracle_idx.astype(np.int32)
+
+        def fake_nn(F0_dev, F1_masked, chunk=2048):
+            idx_full = np.zeros(F0_dev.shape[0], np.int32)
+            idx_full[: len(oracle_idx)] = oracle_idx
+            return jnp.asarray(idx_full), None
+
+        dgr_mod.nearest_neighbor = fake_nn
 
     t0 = time.perf_counter()
     res = engine.register(xyz0, xyz1, p_img, q_img)

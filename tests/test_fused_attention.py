@@ -38,6 +38,20 @@ class TestCompatFlashAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)
 
+    def test_block_between_bq_and_bk(self, rng):
+        """Regression: with bq < N < bk the blocks used to be clamped to
+        N, stop dividing the padded size, and the grid silently dropped
+        query rows past bq (NaN output at N=300 with 256/512 blocks)."""
+        for N, bq, bk in [(300, 256, 512), (700, 512, 1024)]:
+            q, k, v, s, t = make_inputs(rng, N=N)
+            ref = compat_attention_reference(q, k, v, s, t, sigma_d=0.2)
+            got = compat_flash_attention(q, k, v, s, t, sigma_d=0.2,
+                                         block_q=bq, block_k=bk,
+                                         interpret=True)
+            assert np.all(np.isfinite(np.asarray(got))), (N, bq, bk)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, err_msg=f"N={N}")
+
     def test_masked(self, rng):
         q, k, v, s, t = make_inputs(rng, N=256)
         mask = jnp.asarray((np.arange(256) < 200).astype(np.float32))
