@@ -7,7 +7,12 @@ core/trainer.py:541-563; PointDSC writes config.json next to snapshots,
 train_3DMatch.py:35-39).
 
 Format: a directory containing ``state.msgpack`` (flax serialization) and
-``config.json``.
+``config.json``. For large sharded state there is an Orbax-backed pair
+(``save_checkpoint_orbax`` / ``load_checkpoint``, auto-detected): Orbax
+writes per-array storage with async-friendly layout and restores sharded
+trees on multi-host meshes — the production-scale path SURVEY §5 calls
+for — while the same ``config.json`` sidecar keeps the
+"eval rebuilds the net from the checkpoint alone" contract.
 """
 
 from __future__ import annotations
@@ -34,10 +39,42 @@ def save_checkpoint(path: str, state: Dict[str, Any],
     return path
 
 
+def save_checkpoint_orbax(path: str, state: Dict[str, Any],
+                          config: Optional[Dict[str, Any]] = None) -> str:
+    """Orbax-backed save with the same directory + config contract.
+
+    Use for production-scale / sharded state: Orbax stores each array
+    separately (async-write-friendly; restores shardings on a mesh).
+    ``load_checkpoint`` auto-detects the format.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "state.orbax"), state, force=True)
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+    return path
+
+
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[Dict]]:
-    """Read (state pytree, config dict or None) from ``path``."""
-    with open(os.path.join(path, "state.msgpack"), "rb") as f:
-        state = serialization.msgpack_restore(f.read())
+    """Read (state pytree, config dict or None) from ``path``.
+
+    Accepts both formats: ``state.msgpack`` (default) and ``state.orbax``
+    (written by :func:`save_checkpoint_orbax`).
+    """
+    msgpack_path = os.path.join(path, "state.msgpack")
+    if os.path.exists(msgpack_path):
+        with open(msgpack_path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(
+            os.path.abspath(os.path.join(path, "state.orbax")))
     config = None
     cfg_path = os.path.join(path, "config.json")
     if os.path.exists(cfg_path):

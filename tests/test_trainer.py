@@ -63,6 +63,27 @@ class TestTrainer:
             lambda a, b: np.testing.assert_array_equal(a, b), before, after
         )
 
+    def test_orbax_checkpoint_roundtrip(self, tmp_path, rng):
+        """Orbax-backed save restores the identical pytree + config via
+        the same auto-detecting load_checkpoint (SURVEY §5: production-
+        scale checkpointing with the embedded-config contract)."""
+        from gmf_tpu.utils.checkpoint import (
+            load_checkpoint, save_checkpoint_orbax,
+        )
+
+        state = {
+            "params": {"w": rng.randn(4, 3).astype(np.float32),
+                       "b": rng.randn(3).astype(np.float32)},
+            "step": np.asarray(7),
+        }
+        cfg = {"model": {"num_layers": 2}, "lr": 1e-3}
+        path = str(tmp_path / "orbax_ckpt")
+        save_checkpoint_orbax(path, state, config=cfg)
+        restored, cfg2 = load_checkpoint(path)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                     state, restored)
+        assert cfg2 == {"model": {"num_layers": 2}, "lr": 1e-3}
+
     def test_nan_guard_skips_step(self, loaders):
         """A batch with NaN inputs must leave the params untouched."""
         train, val = loaders
