@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="small nets + small pair (smoke)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 sparse-net compute (halves the conv "
+                         "gather HBM traffic; geometry stays f32)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,7 @@ def main():
     print(f"backend: {jax.default_backend()}")
     dev_maps = {"auto": None, "on": True, "off": False}[args.device_maps]
 
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.tiny:
         args.pts = 2000
         cfg = DGRConfig(voxel_size=0.1, voxel_cap_granule=512,
@@ -75,15 +79,15 @@ def main():
         fcgf = SparseResUNet2(
             in_channels=1, out_channels=8, dim=3, conv1_kernel_size=7,
             normalize_feature=True, channels=(4, 8, 16, 32),
-            tr_channels=(8, 8, 8, 16))
+            tr_channels=(8, 8, 8, 16), dtype=dt)
         inlier = SparseResUNet2(
             in_channels=1, out_channels=1, dim=6, conv1_kernel_size=3,
             with_gmf_fusion=True, image_dim=16, channels=(4, 8, 16, 32),
-            tr_channels=(8, 8, 8, 16))
+            tr_channels=(8, 8, 8, 16), dtype=dt)
     else:
         cfg = DGRConfig(device_kernel_maps=dev_maps)
-        fcgf = FCGFNet(conv1_kernel_size=7)
-        inlier = GMFInlierNet()
+        fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)
+        inlier = GMFInlierNet(dtype=dt)
     H, W = cfg.image_hw
 
     rng = np.random.RandomState(0)
