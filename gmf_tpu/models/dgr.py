@@ -5,7 +5,7 @@ Parity targets:
   parameterization) -> ``ortho6d_to_rotation``.
 - core/registration.py:135-194 ``GlobalRegistration`` (Adam lr=0.1 +
   ExpLR(0.999) on HighDimSmoothL1 of warped points, <=1000 iters, breaks
-  on loss<1e-7 or 20 consecutive relative improvements < 1e-5)
+  on loss<1e-7 or 20 cumulative small relative improvements < 1e-5)
   -> ``se3_refine`` (lax.while_loop, same stopping rules, fully on-device).
 - core/deep_global_registration.py:90-410 ``DeepGlobalRegistration`` —
   preprocess/voxelize -> FCGF features -> 1-NN matching -> 6D inlier net
@@ -103,7 +103,9 @@ def se3_refine(points, trans_points, weights, init_trans,
         updates, opt_state2 = opt.update(grads, opt_state, params)
         params2 = optax.apply_updates(params, updates)
         improved = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
-        brk2 = jnp.where(improved, brk + 1, 0)
+        # the reference's break_counter is CUMULATIVE — it is never reset
+        # on a large improvement (core/registration.py:182-186)
+        brk2 = jnp.where(improved, brk + 1, brk)
         done = jnp.logical_or(done, brk2 >= max_break_count)
         # keep stepping only when not done (parity: reference breaks before
         # the step on loss<1e-7 and after the step on break_count).

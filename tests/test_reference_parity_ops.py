@@ -289,6 +289,44 @@ class TestDGROps:
         np.testing.assert_allclose(mine[:3, :3], R_ref.numpy(), atol=2e-4)
         np.testing.assert_allclose(mine[:3, 3], t_ref.numpy(), atol=2e-4)
 
+    def test_global_registration_refiner(self, ref, rng):
+        """se3_refine vs the reference's ACTUAL GlobalRegistration
+        (core/registration.py:135-194): same weighted problem, same
+        Procrustes init, both Adam(0.1)+ExpLR(0.999) refiners must land
+        on the same transform. (Caught in r2: the reference's
+        break_counter is cumulative, never reset — ours used to reset.)
+        """
+        from gmf_tpu.geometry.kabsch import rigid_transform_3d
+        from gmf_tpu.models.dgr import se3_refine
+
+        N = 300
+        X = (rng.rand(N, 3) * 2).astype(np.float32)
+        T = _rand_T(rng)
+        Y = (X @ T[:3, :3].T + T[:3, 3]
+             + 0.02 * rng.randn(N, 3)).astype(np.float32)
+        w = (0.5 + 0.5 * rng.rand(N)).astype(np.float32)
+
+        R_ref, t_ref, opt = ref.dgr_reg.GlobalRegistration(
+            _t(X), _t(Y), weights=_t(w[:, None]))
+        R_ref = R_ref.detach().numpy()
+        t_ref = t_ref.detach().numpy().reshape(3)
+
+        T0 = rigid_transform_3d(jnp.asarray(X)[None], jnp.asarray(Y)[None],
+                                jnp.asarray(w)[None])[0]
+        T_mine, loss, iters = se3_refine(
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(w), T0)
+        T_mine = np.asarray(T_mine)
+
+        np.testing.assert_allclose(T_mine[:3, :3], R_ref, atol=2e-3)
+        np.testing.assert_allclose(T_mine[:3, 3], t_ref, atol=2e-3)
+        # both found the planted transform
+        np.testing.assert_allclose(T_mine[:3, :3], T[:3, :3], atol=0.02)
+        np.testing.assert_allclose(T_mine[:3, 3], T[:3, 3], atol=0.02)
+        # comparable convergence (same stopping rules; fp noise may shift
+        # the exact iteration the cumulative break counter fills up)
+        assert abs(int(iters) - int(opt["iterations"])) <= 150, (
+            int(iters), opt)
+
     def test_ortho2rotation(self, ref, rng):
         from gmf_tpu.models.dgr import ortho6d_to_rotation
 
