@@ -177,7 +177,8 @@ class DeepGlobalRegistration:
         self._solve = jax.jit(self._solve_impl)
 
     @staticmethod
-    def _solve_impl(uniq_logits, inverse, src, tgt, valid, clip_thresh):
+    def _solve_impl(uniq_logits, inverse, src, tgt, valid, clip_thresh,
+                    quant_size):
         """Fused back half: per-corr logits gather -> sigmoid -> clip ->
         weighted Procrustes -> SE(3) refinement, all in ONE dispatch.
 
@@ -193,7 +194,12 @@ class DeepGlobalRegistration:
         w = jnp.where(w < clip_thresh, 0.0, w)
         wsum = jnp.sum(w)
         T0 = rigid_transform_3d(src[None], tgt[None], w[None])[0]
-        T, loss, iters = se3_refine(src, tgt, w, T0)
+        # register() refines with break_threshold_ratio=1e-4 and
+        # quantization_size = 2 * voxel_size — the reference overrides
+        # GlobalRegistration's defaults here (:336-343)
+        T, loss, iters = se3_refine(src, tgt, w, T0,
+                                    break_threshold_ratio=1e-4,
+                                    quantization_size=quant_size)
         return T, wsum, w
 
     # -- pipeline stages ---------------------------------------------------
@@ -353,7 +359,8 @@ class DeepGlobalRegistration:
         T_dev, wsum_dev, w_dev = self._solve(
             uniq_logits, jnp.asarray(inv_pad), jnp.asarray(src_pad),
             jnp.asarray(tgt_pad), jnp.asarray(valid),
-            jnp.float32(cfg.clip_weight_thresh))
+            jnp.float32(cfg.clip_weight_thresh),
+            jnp.float32(2.0 * cfg.voxel_size))
         T, wsum, weights = jax.device_get((T_dev, wsum_dev, w_dev))
         T = np.asarray(T)
         wsum = float(wsum)
