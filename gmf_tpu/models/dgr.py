@@ -298,11 +298,14 @@ class DeepGlobalRegistration:
         return np.asarray(uniq_logits)[inverse]
 
     def safeguard_registration(self, src, tgt, seed: int = 0):
-        """RANSAC fallback (ref :262-279, 348-396; 80k iterations)."""
+        """RANSAC fallback (ref :57-88, 348-396): 80k iterations over the
+        putative correspondences, 4-point hypotheses (o3d ransac_n=4),
+        inlier distance 2 * voxel_size."""
         T, _, _ = ransac_registration(
             jax.random.PRNGKey(seed), jnp.asarray(src), jnp.asarray(tgt),
             inlier_threshold=2 * self.config.voxel_size,
-            num_iters=self.config.safeguard_ransac_iters)
+            num_iters=self.config.safeguard_ransac_iters,
+            sample_size=4)
         return np.asarray(T)
 
     # -- end-to-end ---------------------------------------------------------
