@@ -43,10 +43,13 @@ def make_register_fn(registrar: Callable, solver: str = "SVD",
                 labels = np.asarray(inl).astype(np.float32)
 
         if use_icp:
+            # the reference's icp_refine hard-codes a 0.10 correspondence
+            # distance regardless of the dataset threshold and uses o3d's
+            # default 30 iterations (benchmark_utils.py:52-54)
             trans = np.asarray(icp_refine(
                 jnp.asarray(pair["src_keypts"]), jnp.asarray(pair["tgt_keypts"]),
-                jnp.asarray(trans), max_corr_dist=inlier_threshold * 2,
-                num_iters=20))
+                jnp.asarray(trans), max_corr_dist=0.10,
+                num_iters=30))
         return trans, labels
 
     return register
