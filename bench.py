@@ -66,8 +66,13 @@ def main():
         args.num_corr = 12000
         # b=8 is where N=12000 throughput flattens on v5e
         # (18.0 / 21.1 / 22.7 pairs/s at b = 2 / 4 / 8, r2 sweep)
-        args.batch = min(args.batch, 8)
-        args.bf16 = True
+        if args.batch > 8:
+            print(f"--kitti: clamping --batch {args.batch} -> 8 "
+                  "(N=12000 throughput flattens there; larger OOMs HBM)",
+                  file=__import__("sys").stderr)
+            args.batch = 8
+        if args.bf16 is None:
+            args.bf16 = True
         if args.fused is None and not args.cpu:
             args.fused = True
     baseline = (KITTI_BASELINE_PAIRS_PER_SEC if args.kitti

@@ -316,17 +316,23 @@ def _default_blocks():
     (512, 1024) is the VMEM-feasible optimum on v5e: the r2 sweep at
     N=5000 b=64 measured 104 -> 118.8 pairs/s over (256, 512), and both
     (512, 1280) and (640/1024) exceed the 16 MB scoped-vmem limit.
+
+    NOTE: the backward pass clamps power-of-two blocks to (256, 512)
+    (its VMEM-safe config); non-power-of-two overrides bypass that clamp
+    and can OOM VMEM in the backward — they are rejected here.
     """
     import os
 
-    return (int(os.environ.get("GMF_FLASH_BLOCK_Q", 512)),
-            int(os.environ.get("GMF_FLASH_BLOCK_K", 1024)))
+    bq = int(os.environ.get("GMF_FLASH_BLOCK_Q", 512))
+    bk = int(os.environ.get("GMF_FLASH_BLOCK_K", 1024))
+    for name, b in (("GMF_FLASH_BLOCK_Q", bq), ("GMF_FLASH_BLOCK_K", bk)):
+        if b & (b - 1):
+            raise ValueError(
+                f"{name}={b} must be a power of two (the backward-pass "
+                "VMEM clamp only applies to power-of-two blocks)")
+    return bq, bk
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sigma_d", "block_q", "block_k", "interpret"),
-)
 def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
                            sigma_d: float = 0.10, block_q: int = None,
                            block_k: int = None, interpret: bool = False):
@@ -340,8 +346,12 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
       sigma_d: spatial-consistency sigma (static).
 
     Returns [N, D] = softmax(compat * qk / sqrt(D)) @ v.
+
+    Block sizes (incl. the GMF_FLASH_BLOCK_Q/K env defaults) are resolved
+    here, OUTSIDE the jit, so they are real static args — changing the env
+    vars between calls retriggers compilation instead of being silently
+    ignored by a stale jit cache.
     """
-    N, D = q.shape
     if interpret:
         # no hardware tiling in interpret mode: small blocks keep the
         # padded size near N (CPU tests) while still exercising the
@@ -351,6 +361,21 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
     bk = block_k or dbk
+    return _compat_flash_attention_jit(q, k, v, src_keypts, tgt_keypts,
+                                       mask, sigma_d=sigma_d, block_q=bq,
+                                       block_k=bk, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma_d", "block_q", "block_k", "interpret"),
+)
+def _compat_flash_attention_jit(q, k, v, src_keypts, tgt_keypts, mask=None,
+                                sigma_d: float = 0.10, block_q: int = 512,
+                                block_k: int = 1024,
+                                interpret: bool = False):
+    N, D = q.shape
+    bq, bk = block_q, block_k
     # Pad N up to a multiple of BOTH block sizes. Blocks are deliberately
     # NOT clamped to N: a block clamped to a non-power-of-two N stops
     # dividing the padded size and the grid silently drops query rows

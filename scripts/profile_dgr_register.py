@@ -155,7 +155,8 @@ def main():
         T_dev, wsum_dev, w_dev = eng._solve(
             uniq_logits, jnp.asarray(inv_pad), jnp.asarray(src_pad),
             jnp.asarray(tgt_pad), jnp.asarray(valid),
-            jnp.float32(cfg.clip_weight_thresh))
+            jnp.float32(cfg.clip_weight_thresh),
+            jnp.float32(2.0 * cfg.voxel_size))
         T, wsum, w = jax.device_get((T_dev, wsum_dev, w_dev))
         tE = time.perf_counter()
 
