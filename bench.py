@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--pipelined", type=int, default=0, metavar="K",
                     help="keep K calls in flight (serving throughput; "
                          "hides this machine's ~50 ms relay latency)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the pair batch over an N-device 'data' "
+                         "mesh (data-parallel inference; params "
+                         "replicated, batch split over ICI). N must "
+                         "divide the available device count and the "
+                         "batch size.")
     ap.add_argument("--kitti", action="store_true",
                     help="KITTI eval preset: N=12000 correspondences "
                          "(evaluation/test_KITTI.py:137 num_node=12000), "
@@ -147,11 +153,32 @@ def main():
         }))
         return
 
-    @jax.jit
-    def register(variables, corr_pos, src, tgt, p_img, q_img):
-        out = model.apply(variables, corr_pos, src, tgt, p_img, q_img,
-                          testing=True)
-        return out["final_trans"], out["final_labels"]
+    def build_register(model):
+        def _register(variables, corr_pos, src, tgt, p_img, q_img):
+            out = model.apply(variables, corr_pos, src, tgt, p_img, q_img,
+                              testing=True)
+            return out["final_trans"], out["final_labels"]
+
+        if not args.mesh:
+            return jax.jit(_register)
+        # data-parallel inference: batch sharded on the 'data' axis,
+        # params replicated — the measured multi-chip pairs/sec path
+        # (same sharding as eval/registration.PointDSCRegistrar).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gmf_tpu.parallel.mesh import make_mesh
+
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} must be divisible "
+                             f"by --mesh {args.mesh}")
+        mesh = make_mesh(n_data=args.mesh)
+        repl = NamedSharding(mesh, P())
+        bat = NamedSharding(mesh, P("data"))
+        return jax.jit(_register,
+                       in_shardings=(repl, bat, bat, bat, bat, bat),
+                       out_shardings=(bat, bat))
+
+    register = build_register(model)
 
     fargs = (variables, arrs["corr_pos"], arrs["src_keypts"],
              arrs["tgt_keypts"], arrs["p_image"], arrs["q_image"])
@@ -168,12 +195,7 @@ def main():
             print(f"fused path failed ({type(e).__name__}); "
                   "falling back to dense", file=sys.stderr)
             model = model.clone(fused_attention=False)
-
-            @jax.jit
-            def register(variables, corr_pos, src, tgt, p_img, q_img):
-                out = model.apply(variables, corr_pos, src, tgt, p_img,
-                                  q_img, testing=True)
-                return out["final_trans"], out["final_labels"]
+            register = build_register(model)
 
     # NOTE: jax.block_until_ready is unreliable on the tunneled axon
     # platform (returns before execution completes); a host fetch is the
@@ -202,6 +224,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / baseline, 3),
         "config": f"N={args.num_corr} b={args.batch}"
+                  f"{f' mesh={args.mesh}' if args.mesh else ''}"
                   f"{' fused' if args.fused else ' dense'}"
                   f"{' bf16' if args.bf16 else ' f32'}"
                   f" host-fetch-synced",

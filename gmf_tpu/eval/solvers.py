@@ -22,11 +22,16 @@ from gmf_tpu.geometry.ransac import ransac_registration
 def make_register_fn(registrar: Callable, solver: str = "SVD",
                      use_icp: bool = False, inlier_threshold: float = 0.10,
                      ransac_iters: int = 5000) -> Callable:
-    """Wrap a model registrar with the solver/ICP eval options."""
+    """Wrap a model registrar with the solver/ICP eval options.
 
-    def register(pair: Dict[str, np.ndarray]):
-        trans, labels = registrar(pair)
+    When the registrar exposes ``register_batch`` (PointDSCRegistrar),
+    the returned callable carries a ``register_batch(pairs)`` attribute
+    that runs the model part as one batched (optionally mesh-sharded)
+    dispatch and then applies the per-pair solver/ICP post-steps — the
+    eval harness uses it to amortize dispatch across pairs.
+    """
 
+    def _post(pair: Dict[str, np.ndarray], trans, labels):
         if solver == "RANSAC":
             # RANSAC on the model's predicted-inlier correspondences
             # (ref :75-93). Keep padded shapes static via a weight mask.
@@ -51,5 +56,17 @@ def make_register_fn(registrar: Callable, solver: str = "SVD",
                 jnp.asarray(trans), max_corr_dist=0.10,
                 num_iters=30))
         return trans, labels
+
+    def register(pair: Dict[str, np.ndarray]):
+        trans, labels = registrar(pair)
+        return _post(pair, trans, labels)
+
+    if hasattr(registrar, "register_batch"):
+        def register_batch(pairs):
+            results = registrar.register_batch(list(pairs))
+            return [_post(p, t, l) for p, (t, l) in zip(pairs, results)]
+
+        register.register_batch = register_batch
+        register.eval_bucket = registrar.eval_bucket
 
     return register

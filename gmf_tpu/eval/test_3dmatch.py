@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--inlier-threshold", type=float, default=0.10)
     ap.add_argument("--out", default="eval_3dmatch")
     ap.add_argument("--scenes", nargs="*", default=None)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per dispatch: same-bucket pairs are "
+                         "registered as one batched forward (amortizes "
+                         "the per-call dispatch/sync cost)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard each batch over an N-device 'data' mesh "
+                         "(data-parallel inference; N must divide into "
+                         "the available devices)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -61,7 +69,12 @@ def main():
                                      inlier_threshold=args.inlier_threshold)
     if args.fused:
         model = model.replace(fused_attention=True)
-    registrar = PointDSCRegistrar(model, variables)
+    mesh = None
+    if args.mesh:
+        from gmf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh)
+    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,
                                    inlier_threshold=args.inlier_threshold)
@@ -77,7 +90,8 @@ def main():
         stats = evaluate_pairs(register_fn,
                                (ds[i] for i in range(len(ds))),
                                re_thresh=args.re_thre,
-                               te_thresh_cm=args.te_thre, scene_index=si)
+                               te_thresh_cm=args.te_thre, scene_index=si,
+                               batch_size=args.batch)
         all_stats[scene] = stats
         ok = stats[stats[:, 0] == 1]
         log.info(

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--te-thre", type=float, default=60.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.60)
     ap.add_argument("--out", default="eval_kitti")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per batched dispatch")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard batches over an N-device 'data' mesh")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -55,7 +59,12 @@ def main():
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
     model = model.replace(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
                           fused_attention=args.fused)
-    registrar = PointDSCRegistrar(model, variables)
+    mesh = None
+    if args.mesh:
+        from gmf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh)
+    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,
                                    inlier_threshold=1.2)
@@ -65,7 +74,8 @@ def main():
                       use_mutual=args.use_mutual,
                       inlier_threshold=args.inlier_threshold)
     stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
-                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre)
+                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
+                           batch_size=args.batch)
     agg = aggregate_scenes({"kitti": stats})
     log.info(format_report(agg))
     os.makedirs(args.out, exist_ok=True)

@@ -76,6 +76,35 @@ def test_eval_3dmatch_cli(fixture_tree, monkeypatch, capsys):
     assert stats[0, 1] < 15.0  # RE within threshold
 
 
+def test_eval_3dmatch_cli_batched_mesh(fixture_tree, monkeypatch):
+    """--batch/--mesh: the batched data-parallel dispatch path through
+    the real CLI (pads the 1-pair batch to the 8-device mesh)."""
+    root, ckpt, scene = fixture_tree
+    from gmf_tpu.eval import test_3dmatch
+
+    out_dir = os.path.join(root, "eval_out_dp")
+    monkeypatch.setattr(sys, "argv", [
+        "test_3dmatch", "--root", root, "--checkpoint", ckpt,
+        "--num-node", "all", "--scenes", scene, "--out", out_dir,
+        "--batch", "4", "--mesh", "8",
+    ])
+    test_3dmatch.main()
+    stats = np.load(os.path.join(out_dir, "all_stats.npy"))
+    assert stats.shape == (1, 12)
+    assert stats[0, 0] == 1.0, stats[0]
+    # serial CLI run on the same tree must agree on the non-timing stats
+    ser_dir = os.path.join(root, "eval_out_serial")
+    monkeypatch.setattr(sys, "argv", [
+        "test_3dmatch", "--root", root, "--checkpoint", ckpt,
+        "--num-node", "all", "--scenes", scene, "--out", ser_dir,
+    ])
+    test_3dmatch.main()
+    serial = np.load(os.path.join(ser_dir, "all_stats.npy"))
+    cols = [0, 3, 4, 5, 6, 7, 8, 11]
+    np.testing.assert_array_equal(stats[:, cols], serial[:, cols])
+    np.testing.assert_allclose(stats[:, 1:3], serial[:, 1:3], atol=0.02)
+
+
 def test_baseline_eval_cli_skips_unavailable(fixture_tree, monkeypatch,
                                              caplog):
     """SM/RANSAC run under the harness; GC-RANSAC logs SKIPPED (no wheel)
