@@ -68,7 +68,7 @@ def main():
     model, variables = load_pointdsc(args.checkpoint,
                                      inlier_threshold=args.inlier_threshold)
     if args.fused:
-        model = model.replace(fused_attention=True)
+        model = model.clone(fused_attention=True)
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

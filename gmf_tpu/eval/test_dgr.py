@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--voxel", type=float, default=None)
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--out", default="eval_dgr")
+    ap.add_argument("--scenes", nargs="*", default=None,
+                    help="subset of SCENE_LIST (default: all)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny net widths (fixture/CI smoke — checkpoints "
+                         "must match)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -52,18 +57,34 @@ def main():
 
     fcgf_state, _ = load_checkpoint(args.fcgf_checkpoint)
     inlier_state, _ = load_checkpoint(args.inlier_checkpoint)
+    if args.tiny:
+        from gmf_tpu.sparse.resunet import SparseResUNet2
+
+        fcgf_model = SparseResUNet2(
+            in_channels=1, out_channels=8, dim=3, conv1_kernel_size=3,
+            normalize_feature=True, channels=(4, 8, 16, 32),
+            tr_channels=(8, 8, 8, 16))
+        inlier_model = SparseResUNet2(
+            in_channels=1, out_channels=1, dim=6, conv1_kernel_size=3,
+            with_gmf_fusion=True, image_dim=16, channels=(4, 8, 16, 32),
+            tr_channels=(8, 8, 8, 16))
+    else:
+        fcgf_model = FCGFNet(conv1_kernel_size=tcfg.feat_conv1_kernel_size)
+        inlier_model = GMFInlierNet(
+            conv1_kernel_size=tcfg.inlier_conv1_kernel_size)
     engine = DeepGlobalRegistration(
         jax.tree.map(np.asarray, fcgf_state),
         jax.tree.map(np.asarray, inlier_state),
         DGRConfig(voxel_size=voxel, use_icp=args.use_icp,
-                  clip_weight_thresh=tcfg.clip_weight_thresh),
-        fcgf_model=FCGFNet(conv1_kernel_size=tcfg.feat_conv1_kernel_size),
-        inlier_model=GMFInlierNet(
-            conv1_kernel_size=tcfg.inlier_conv1_kernel_size))
+                  clip_weight_thresh=tcfg.clip_weight_thresh,
+                  inlier_feature_type=tcfg.inlier_feature_type,
+                  **({"voxel_cap_granule": 256, "corr_cap_granule": 256}
+                     if args.tiny else {})),
+        fcgf_model=fcgf_model, inlier_model=inlier_model)
 
     rows = []
     if args.dataset == "3dmatch":
-        for si, scene in enumerate(SCENE_LIST):
+        for si, scene in enumerate(args.scenes or SCENE_LIST):
             gt = load_gt_log(os.path.join(args.root, scene))
             for key, T_gt_ts in gt.items():
                 i, j = key.split("_")

@@ -57,7 +57,7 @@ def main():
     # KITTI model settings (evaluation/test_KITTI.py:210-219):
     # inlier/sigma 1.2, nms_radius = inlier_threshold.
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
-    model = model.replace(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
+    model = model.clone(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
                           fused_attention=args.fused)
     mesh = None
     if args.mesh:

@@ -121,6 +121,39 @@ def se3_refine(points, trans_points, weights, init_trans,
     return T, loss, it
 
 
+def inlier_input_feature_dim(feat_type: str, fcgf_dim: int = 32) -> int:
+    """Input channels of the inlier net per feature mode (the reference
+    sizes the net the same way, core/trainer.py:81,90)."""
+    if feat_type == "ones":
+        return 1
+    if feat_type == "coords":
+        return 6
+    if feat_type == "feats":
+        return 2 * fcgf_dim
+    raise ValueError(f"unknown inlier_feature_type {feat_type!r}")
+
+
+def inlier_input_features(feat_type: str, pts0, pts1, F0, F1, idx0, idx1):
+    """Per-correspondence inlier-net input features [N, C]
+    (ref core/deep_global_registration.py:236-246, trainer :622-644):
+    'ones' = [N,1] ones; 'feats' = concat of the two descriptor rows;
+    'coords' = concat of cos(xyz) of the two voxelized points.
+
+    Runs in jnp so device-resident descriptors stay on device.
+    """
+    i0, i1 = jnp.asarray(idx0), jnp.asarray(idx1)
+    if feat_type == "ones":
+        return jnp.ones((len(idx0), 1), jnp.float32)
+    if feat_type == "feats":
+        return jnp.concatenate(
+            [jnp.asarray(F0)[i0], jnp.asarray(F1)[i1]], axis=1)
+    if feat_type == "coords":
+        return jnp.concatenate(
+            [jnp.cos(jnp.asarray(pts0)[i0]),
+             jnp.cos(jnp.asarray(pts1)[i1])], axis=1)
+    raise ValueError(f"unknown inlier_feature_type {feat_type!r}")
+
+
 @dataclasses.dataclass
 class DGRConfig:
     """Mirrors GMF_DGR config defaults (config_3DMatch.py; KITTI deltas in
@@ -163,10 +196,12 @@ class DeepGlobalRegistration:
 
     def __init__(self, fcgf_variables, inlier_variables,
                  config: Optional[DGRConfig] = None,
-                 fcgf_model=None, inlier_model=None):
+                 fcgf_model=None, inlier_model=None, fcgf_dim: int = 32):
         self.config = config or DGRConfig()
+        self.fcgf_dim = fcgf_dim
         self.fcgf = fcgf_model or FCGFNet(conv1_kernel_size=7)
-        self.inlier = inlier_model or GMFInlierNet()
+        self.inlier = inlier_model or GMFInlierNet(
+            in_channels=self.inlier_feature_dim())
         self.fcgf_vars = fcgf_variables
         self.inlier_vars = inlier_variables
         self._fcgf_apply = jax.jit(
@@ -201,6 +236,17 @@ class DeepGlobalRegistration:
                                     break_threshold_ratio=1e-4,
                                     quantization_size=quant_size)
         return T, wsum, w
+
+    def inlier_feature_dim(self) -> int:
+        return inlier_input_feature_dim(self.config.inlier_feature_type,
+                                        self.fcgf_dim)
+
+    def inlier_feature_generation(self, pts0, pts1, F0, F1, nn01):
+        """Per-correspondence inlier-net input features [N, C]
+        (ref core/deep_global_registration.py:236-246)."""
+        return inlier_input_features(
+            self.config.inlier_feature_type, pts0, pts1, F0, F1,
+            np.arange(len(nn01)), nn01)
 
     # -- pipeline stages ---------------------------------------------------
 
@@ -265,13 +311,15 @@ class DeepGlobalRegistration:
         return np.asarray(idx)
 
     def _inlier_logits_device(self, corr_coords6d: np.ndarray, p_image,
-                              q_image):
+                              q_image, corr_feats=None):
         """Dispatch the 6D inlier net; returns (uniq_logits [cap] ON
         DEVICE, inverse [N] host map from corrs to unique voxels).
 
         6D coords may repeat (several matches in the same voxel pair):
-        the net runs on unique coords and ``inverse`` maps logits back
-        (ME does the same through its coordinate manager).
+        the net runs on unique coords and ``inverse`` maps logits back.
+        corr_feats [N, C] (inlier_feature_generation output) is reduced
+        to unique voxels by FIRST occurrence — deterministic stand-in
+        for ME's coordinate-manager duplicate resolution; None = ones.
         """
         uniq, first_idx, inverse = sparse_quantize(
             corr_coords6d.astype(np.float64), 1.0,
@@ -280,21 +328,29 @@ class DeepGlobalRegistration:
             uniq, conv1_kernel_size=3,
             granule=self.config.corr_cap_granule)
         cap0 = arrays["mask_0"].shape[0]
-        feats = jnp.ones((cap0, 1), jnp.float32)
+        c = self.inlier_feature_dim()
+        if corr_feats is None:
+            feats = jnp.ones((cap0, c), jnp.float32)
+        else:
+            uniq_feats = jnp.asarray(corr_feats)[jnp.asarray(first_idx)]
+            feats = jnp.zeros((cap0, c), jnp.float32)
+            feats = feats.at[: len(first_idx)].set(
+                uniq_feats.astype(jnp.float32))
         logits = self._inlier_apply(
             self.inlier_vars, feats, arrays, jnp.asarray(p_image),
             jnp.asarray(q_image))
         return logits[:, 0], inverse
 
     def inlier_prediction(self, corr_coords6d: np.ndarray, p_image,
-                          q_image):
+                          q_image, corr_feats=None):
         """6D sparse inlier net with image fusion (ref :248-260).
 
-        corr_coords6d: [N, 6] int voxel coords (src ++ tgt).
+        corr_coords6d: [N, 6] int voxel coords (src ++ tgt);
+        corr_feats: optional [N, C] per-corr input features.
         Returns per-correspondence logits [N].
         """
         uniq_logits, inverse = self._inlier_logits_device(
-            corr_coords6d, p_image, q_image)
+            corr_coords6d, p_image, q_image, corr_feats=corr_feats)
         return np.asarray(uniq_logits)[inverse]
 
     def safeguard_registration(self, src, tgt, seed: int = 0):
@@ -336,18 +392,22 @@ class DeepGlobalRegistration:
             idx_dev, _ = nearest_neighbor(F0_dev, F1_masked,
                                           chunk=cfg.nn_chunk)
             nn01 = np.asarray(idx_dev)[: len(coords0)]
+            F0, F1 = F0_dev, F1_dev  # device-resident for 'feats' mode
         else:
             F0 = self.descriptor_features(coords0, pts0)
             F1 = self.descriptor_features(coords1, pts1)
             nn01 = self.feature_matching(F0, F1)
 
         corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
+        corr_feats = (None if cfg.inlier_feature_type == "ones" else
+                      self.inlier_feature_generation(pts0, pts1, F0, F1,
+                                                     nn01))
         # Back half, fused: inlier logits -> sigmoid -> clip (ref
         # :321-326) -> Procrustes -> SE(3) refine run as ONE dispatch on
         # bucket-padded shapes (no per-N recompiles), then one batched
         # fetch of (T, wsum, weights).
         uniq_logits, inverse = self._inlier_logits_device(
-            corr6d, p_image, q_image)
+            corr6d, p_image, q_image, corr_feats=corr_feats)
         src = pts0
         tgt = pts1[nn01]
         n = len(src)
@@ -379,8 +439,13 @@ class DeepGlobalRegistration:
             used_safeguard = True
 
         if cfg.use_icp:
+            # ICP polish registers the FULL voxelized clouds — the
+            # reference rebinds xyz0/xyz1 to the preprocess outputs and
+            # hands BOTH whole clouds to registration_icp (:286-289,
+            # 398-406), so per-iteration NN search runs over all of
+            # pts1, not just the matched subset.
             T = np.asarray(icp_refine(
-                jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(T),
+                jnp.asarray(pts0), jnp.asarray(pts1), jnp.asarray(T),
                 max_corr_dist=2 * cfg.voxel_size,
                 num_iters=cfg.icp_max_iters))
 

@@ -223,10 +223,16 @@ def FCGFNet(out_channels: int = 32, conv1_kernel_size: int = 7,
     )
 
 
-def GMFInlierNet(dim: int = 6, conv1_kernel_size: int = 3, dtype=jnp.float32):
-    """GMF-fused 6D inlier classifier (resunet_new.py ResUNetBN2C, 1->1)."""
+def GMFInlierNet(dim: int = 6, conv1_kernel_size: int = 3,
+                 in_channels: int = 1, dtype=jnp.float32):
+    """GMF-fused 6D inlier classifier (resunet_new.py ResUNetBN2C, C->1).
+
+    in_channels follows the engine's inlier_feature_type: 1 ('ones'),
+    6 ('coords' = cos(xyz) pairs), 2*fcgf_dim ('feats') — the reference
+    sizes the net the same way (core/trainer.py:81,90).
+    """
     return SparseResUNet2(
-        in_channels=1, out_channels=1, dim=dim,
+        in_channels=in_channels, out_channels=1, dim=dim,
         conv1_kernel_size=conv1_kernel_size, normalize_feature=False,
         with_gmf_fusion=True, dtype=dtype,
     )

@@ -28,6 +28,7 @@ from gmf_tpu.configs.presets import DGRTrainConfig
 from gmf_tpu.data.dgr_loader import find_correct_correspondence
 from gmf_tpu.geometry.kabsch import kabsch_quat
 from gmf_tpu.geometry.knn import nearest_neighbor
+from gmf_tpu.models.dgr import inlier_input_features
 from gmf_tpu.sparse.kernel_map import build_pyramid
 from gmf_tpu.sparse.resunet import pyramid_to_arrays
 from gmf_tpu.sparse.voxelize import sparse_quantize
@@ -90,7 +91,11 @@ class WeightedProcrustesTrainer:
 
     def generate_inlier_input(self, pair: Dict[str, np.ndarray]):
         """Descriptor features, 1-NN pairs and correctness labels
-        (ref :644-678; fpfh variant :659-697)."""
+        (ref :644-678; fpfh variant :659-697).
+
+        Returns (pred_pairs [N,2], is_correct [N], F0, F1) — the
+        descriptors feed 'feats'-mode inlier input generation
+        (ref :622-644)."""
         feats = []
         for key_c, key_p in (("coords0", "pcd0"), ("coords1", "pcd1")):
             if self.descriptor == "fpfh":
@@ -117,7 +122,21 @@ class WeightedProcrustesTrainer:
         hash_seed = max(len(F0), len(F1))
         is_correct = find_correct_correspondence(
             pair["correspondences"], pred_pairs, hash_seed)
-        return pred_pairs, is_correct.astype(np.float32)
+        return pred_pairs, is_correct.astype(np.float32), F0, F1
+
+    def _uniq_feats(self, pair, pred_pairs, F0, F1, first_idx, cap):
+        """[cap, C] inlier-net input on unique 6-D voxels (first
+        occurrence; zero pad rows)."""
+        corr_feats = inlier_input_features(
+            self.cfg.inlier_feature_type, pair["pcd0"], pair["pcd1"],
+            F0, F1, pred_pairs[:, 0], pred_pairs[:, 1])
+        c = corr_feats.shape[1]
+        if self.cfg.inlier_feature_type == "ones":
+            return jnp.ones((cap, c), jnp.float32)
+        uniq_feats = corr_feats[jnp.asarray(first_idx)]
+        feats = jnp.zeros((cap, c), jnp.float32)
+        return feats.at[: len(first_idx)].set(
+            uniq_feats.astype(jnp.float32))
 
     def _pair_grads_fn(self, params, bstats, feats, pyramid, p_img, q_img,
                        src, tgt, corr_mask, is_correct, T_gt, inverse_map):
@@ -162,7 +181,7 @@ class WeightedProcrustesTrainer:
 
     def train_pair(self, pair: Dict[str, np.ndarray]):
         """Host prep + jitted grads for one pair."""
-        pred_pairs, is_correct = self.generate_inlier_input(pair)
+        pred_pairs, is_correct, F0, F1 = self.generate_inlier_input(pair)
         corr6d = np.concatenate(
             [pair["coords0"][pred_pairs[:, 0]],
              pair["coords1"][pred_pairs[:, 1]]], axis=1)
@@ -172,7 +191,7 @@ class WeightedProcrustesTrainer:
         arrays = self._pyramid_arrays(
             uniq, self.cfg.inlier_conv1_kernel_size, self.corr_cap_granule)
         cap = arrays["mask_0"].shape[0]
-        feats = jnp.ones((cap, 1), jnp.float32)
+        feats = self._uniq_feats(pair, pred_pairs, F0, F1, first, cap)
 
         n = len(pred_pairs)
         cap_corr = -(-n // self.corr_cap_granule) * self.corr_cap_granule
@@ -241,20 +260,21 @@ class WeightedProcrustesTrainer:
         agg: Dict[str, float] = {}
         count = 0
         for pair in pairs:
-            pred_pairs, is_correct = self.generate_inlier_input(pair)
+            pred_pairs, is_correct, F0, F1 = self.generate_inlier_input(pair)
             # hit ratio: fraction of NN matches that are GT-correct
             hit_ratio = float(is_correct.mean()) if len(is_correct) else 0.0
 
             corr6d = np.concatenate(
                 [pair["coords0"][pred_pairs[:, 0]],
                  pair["coords1"][pred_pairs[:, 1]]], axis=1)
-            uniq, _, inverse = sparse_quantize(
+            uniq, first, inverse = sparse_quantize(
                 corr6d.astype(np.float64), 1.0, return_index=True,
                 return_inverse=True)
             arrays = self._pyramid_arrays(
                 uniq, self.cfg.inlier_conv1_kernel_size,
                 self.corr_cap_granule)
-            feats = jnp.ones((arrays["mask_0"].shape[0], 1), jnp.float32)
+            feats = self._uniq_feats(pair, pred_pairs, F0, F1, first,
+                                     arrays["mask_0"].shape[0])
             logits_vox = self.inlier.apply(
                 {"params": self.inlier_params,
                  "batch_stats": self.inlier_bstats},

@@ -36,6 +36,36 @@ T_ANCHOR = np.array([
 
 
 @pytest.mark.skipif(not os.path.exists(SRC), reason="reference demo_data absent")
+def test_dgr_register_reference_demo_pair():
+    """The same real pair through DeepGlobalRegistration.register(),
+    FPFH descriptor mode (GMF_DGR_fcgf/demo.py is the engine's demo
+    entry; FPFH works without trained FCGF weights). The back half is
+    geometry-driven (weighted Procrustes + robust SE(3) refinement), so
+    the 15 deg / 30 cm anchor must hold even with untrained nets
+    (measured r3: RE 3.8 deg, TE 0.17 m, no safeguard)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_dgr import tiny_engine
+
+    from gmf_tpu.data.ply import read_ply
+
+    xyz0 = read_ply(SRC)["xyz"]
+    xyz1 = read_ply(TGT)["xyz"]
+    eng = tiny_engine()
+    eng.config.descriptor = "fpfh"
+    eng.config.voxel_size = 0.05
+    img = np.zeros((1, 16, 16, 3), np.float32)
+    res = eng.register(xyz0, xyz1, img, img)
+    T = res["trans"]
+    assert np.all(np.isfinite(T))
+    R_err = T[:3, :3] @ T_ANCHOR[:3, :3].T
+    re_deg = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    te = np.linalg.norm(T[:3, 3] - T_ANCHOR[:3, 3])
+    assert re_deg < 15.0 and te < 0.30, (re_deg, te, T)
+
+
+@pytest.mark.skipif(not os.path.exists(SRC), reason="reference demo_data absent")
 def test_register_reference_demo_pair(tmp_path):
     out = tmp_path / "trans.npy"
     res = subprocess.run(

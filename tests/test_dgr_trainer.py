@@ -13,11 +13,14 @@ from gmf_tpu.sparse.resunet import SparseResUNet2, pyramid_to_arrays
 from gmf_tpu.train.dgr_trainer import WeightedProcrustesTrainer
 
 
-def tiny_nets(rng_key=0):
+def tiny_nets(rng_key=0, feat_type="ones"):
+    from gmf_tpu.models.dgr import inlier_input_feature_dim
+
+    in_ch = inlier_input_feature_dim(feat_type, fcgf_dim=8)
     fcgf = SparseResUNet2(in_channels=1, out_channels=8, dim=3,
                           conv1_kernel_size=3, normalize_feature=True,
                           channels=(4, 8, 16, 32), tr_channels=(8, 8, 8, 16))
-    inlier = SparseResUNet2(in_channels=1, out_channels=1, dim=6,
+    inlier = SparseResUNet2(in_channels=in_ch, out_channels=1, dim=6,
                             conv1_kernel_size=3, with_gmf_fusion=True,
                             image_dim=16, channels=(4, 8, 16, 32),
                             tr_channels=(8, 8, 8, 16))
@@ -30,7 +33,7 @@ def tiny_nets(rng_key=0):
     pyr6 = build_pyramid(coords6, 4, granule=256)
     img = jnp.zeros((1, 16, 16, 3))
     iv = inlier.init(jax.random.PRNGKey(rng_key + 1),
-                     jnp.ones((pyr6.levels[0].cap, 1)),
+                     jnp.ones((pyr6.levels[0].cap, in_ch)),
                      pyramid_to_arrays(pyr6), p_image=img, q_image=img)
     return fcgf, fv, inlier, iv
 
@@ -70,6 +73,24 @@ class TestDGRTrainer:
         assert not np.allclose(np.asarray(before), np.asarray(after))
         # frozen FCGF untouched by construction (held in fcgf_vars)
         assert "rot_err_deg" in metrics and "success" in metrics
+
+    def test_train_step_with_feats_and_coords_modes(self, rng):
+        """inlier_feature_type reaches the trainer's net input
+        (ref core/trainer.py:622-644)."""
+        for ft in ("feats", "coords"):
+            fcgf, fv, inlier, iv = tiny_nets(feat_type=ft)
+            cfg = DGRTrainConfig(lr=1e-3, optimizer="SGD",
+                                 inlier_feature_type=ft)
+            trainer = WeightedProcrustesTrainer(
+                fcgf, fv, inlier, iv, cfg,
+                voxel_cap_granule=256, corr_cap_granule=256)
+            pair = make_dgr_pair(rng, n_points=250, voxel_size=0.08,
+                                 image_hw=(16, 16))
+            metrics = trainer.train_step([pair])
+            assert metrics["skipped"] == 0.0, ft
+            assert np.isfinite(metrics["loss"]), ft
+            val = trainer.validate([pair])
+            assert np.isfinite(val["rte"]), ft
 
     def test_loss_decreases_over_steps(self, rng):
         fcgf, fv, inlier, iv = tiny_nets(2)

@@ -91,6 +91,54 @@ class TestICP:
         np.testing.assert_allclose(T[:3, :3], T_gt[:3, :3], atol=1e-3)
         np.testing.assert_allclose(T[:3, 3], T_gt[:3, 3], atol=5e-3)
 
+    def test_point_to_plane_beats_point_to_point_on_resampled_surface(
+            self, rng):
+        """Two INDEPENDENT samplings of a smooth surface: point-to-point
+        NN has a tangential bias that stalls the estimate; point-to-plane
+        (the depth-odometry objective) converges to the true offset."""
+        from gmf_tpu.geometry.icp import icp_point_to_plane
+        from gmf_tpu.ops.fpfh import estimate_normals
+
+        def surf(n, x0, x1, seed):
+            r = np.random.RandomState(seed)
+            x = r.uniform(x0, x1, n)
+            y = r.uniform(-1.0, 1.0, n)
+            z = (0.3 * np.exp(-((x - 0.4) ** 2 + y ** 2) / 0.15)
+                 - 0.2 * np.exp(-((x + 0.5) ** 2 + (y - 0.4) ** 2) / 0.1))
+            return np.stack([x, y, z], 1).astype(np.float32)
+
+        t_gt = np.array([0.12, 0.05, 0.0], np.float32)
+        A = surf(1500, -1.0, 1.0, 0)
+        B = surf(1500, -1.0, 1.0, 1) - t_gt  # frame-B coords
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, 3] = t_gt
+        nA = estimate_normals(jnp.asarray(A), radius=0.2)
+        T_pl = np.asarray(icp_point_to_plane(
+            jnp.asarray(B), jnp.asarray(A), nA,
+            jnp.asarray(np.eye(4, dtype=np.float32)),
+            max_corr_dist=0.3, num_iters=50))
+        T_pp = np.asarray(icp_refine(
+            jnp.asarray(B), jnp.asarray(A),
+            jnp.asarray(np.eye(4, dtype=np.float32)),
+            max_corr_dist=0.3, num_iters=50))
+        err_pl = np.linalg.norm(T_pl[:3, 3] - t_gt)
+        err_pp = np.linalg.norm(T_pp[:3, 3] - t_gt)
+        assert err_pl < 0.02, (err_pl, T_pl)
+        assert err_pl < err_pp, (err_pl, err_pp)
+
+    def test_point_to_plane_degenerate_inputs_stay_finite(self, rng):
+        """All-far clouds (no matches) must return the init unchanged."""
+        from gmf_tpu.geometry.icp import icp_point_to_plane
+
+        src = rng.rand(100, 3).astype(np.float32)
+        tgt = rng.rand(100, 3).astype(np.float32) + 100.0
+        n = np.tile(np.array([0, 0, 1], np.float32), (100, 1))
+        T0 = np.eye(4, dtype=np.float32)
+        T = np.asarray(icp_point_to_plane(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(n),
+            jnp.asarray(T0), max_corr_dist=0.1, num_iters=10))
+        np.testing.assert_array_equal(T, T0)
+
 
 class TestHarness:
     def test_stats_and_aggregation(self, rng):
