@@ -67,7 +67,23 @@ def main():
                          "(evaluation/test_KITTI.py:137 num_node=12000), "
                          "fused flash path + bf16 (the O(N^2)-free "
                          "config that makes this scale tractable)")
+    ap.add_argument("--lomatch", action="store_true",
+                    help="3DLoMatch num_node='all' megapair preset: "
+                         "N=30000 correspondences, fused flash + bf16 "
+                         "(evaluation/test_3DLoMatch.py:240 feeds whole "
+                         "fragments; dense attention would need a 3.6 GB "
+                         "[N,N] matrix per head)")
     args = ap.parse_args()
+    if args.lomatch:
+        args.num_corr = 30000
+        if args.batch > 2:
+            print(f"--lomatch: clamping --batch {args.batch} -> 2",
+                  file=__import__("sys").stderr)
+            args.batch = 2
+        if args.bf16 is None:
+            args.bf16 = True
+        if args.fused is None and not args.cpu:
+            args.fused = True
     if args.kitti:
         args.num_corr = 12000
         # b=8 is where N=12000 throughput flattens on v5e

@@ -97,9 +97,22 @@ def find_correct_correspondence(pos_pairs: np.ndarray, pred_pairs: np.ndarray,
 def make_dgr_pair(rng: np.random.RandomState, n_points: int = 500,
                   voxel_size: float = 0.05, overlap: float = 0.7,
                   image_hw=(16, 16), matching_radius_mult: float = 2.0,
-                  random_scale: bool = False) -> Dict[str, np.ndarray]:
-    """Synthetic DGR training pair (same dict contract as the loaders)."""
-    base = rng.rand(n_points, 3).astype(np.float32)
+                  random_scale: bool = False,
+                  surface: bool = False) -> Dict[str, np.ndarray]:
+    """Synthetic DGR training pair (same dict contract as the loaders).
+
+    surface=True samples a bumpy heightfield instead of a uniform box —
+    the geometry FPFH needs for meaningful normals/histograms (volumetric
+    random points give ~3% descriptor hit ratio, a surface ~55%; use it
+    with descriptor='fpfh' to close the synthetic train->eval loop).
+    """
+    if surface:
+        xy = rng.rand(n_points, 2).astype(np.float32)
+        z = (0.15 * np.sin(6 * xy[:, 0]) * np.cos(5 * xy[:, 1])
+             + 0.08 * np.sin(13 * xy[:, 0] + 1.0)).astype(np.float32)
+        base = np.concatenate([xy, z[:, None]], 1)
+    else:
+        base = rng.rand(n_points, 3).astype(np.float32)
     n_keep = int(n_points * overlap)
     keep0 = rng.choice(n_points, n_keep, replace=False)
     keep1 = rng.choice(n_points, n_keep, replace=False)

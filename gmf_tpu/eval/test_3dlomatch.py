@@ -25,6 +25,16 @@ def main():
     ap.add_argument("--re-thre", type=float, default=15.0)
     ap.add_argument("--te-thre", type=float, default=30.0)
     ap.add_argument("--out", default="eval_3dlomatch")
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="Pallas flash attention + NMS (default: on for "
+                         "TPU; the O(N)-memory path that makes "
+                         "num_node='all' megapairs tractable, ref "
+                         "evaluation/test_3DLoMatch.py:240)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per batched dispatch")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard batches over an N-device 'data' mesh")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -37,13 +47,28 @@ def main():
     from gmf_tpu.eval.registration import PointDSCRegistrar
     from gmf_tpu.utils.model_io import load_pointdsc
 
+    import jax
+
+    if args.fused is None:
+        args.fused = jax.default_backend() != "cpu"
     model, variables = load_pointdsc(args.checkpoint)
-    registrar = PointDSCRegistrar(model, variables)
+    if args.fused:
+        model = model.clone(fused_attention=True)
+    mesh = None
+    if args.mesh:
+        from gmf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh)
+    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
+    from gmf_tpu.eval.solvers import make_register_fn
+
+    register_fn = make_register_fn(registrar)
     num_node = args.num_node if args.num_node == "all" else int(args.num_node)
     ds = ThreeDLoMatchTest(root=args.root, pair_file=args.pair_file,
                            num_node=num_node, descriptor=args.descriptor)
-    stats = evaluate_pairs(registrar, (ds[i] for i in range(len(ds))),
-                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre)
+    stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
+                           re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
+                           batch_size=args.batch)
     agg = aggregate_scenes({"3dlomatch": stats})
     log.info(format_report(agg))
     os.makedirs(args.out, exist_ok=True)

@@ -173,6 +173,11 @@ class DGRConfig:
     image_hw: Tuple[int, int] = (120, 160)
     descriptor: str = "fcgf"   # 'fpfh' swaps in JAX FPFH (fpfh variant,
                                # GMF_DGR_fpfh core/deep_global_registration.py:173-198)
+    # net compute dtype for the default-constructed FCGF/inlier nets:
+    # 'bfloat16' halves the conv gather bytes + GEMM time on TPU
+    # (geometry/solve stays f32; params stay f32 — flax casts per-op).
+    # The reference runs f32, so f32 stays the parity default.
+    net_dtype: str = "float32"
     # Build kernel maps on the accelerator (sparse/device_maps.py) instead
     # of the host; None = auto (on for any non-CPU backend). The host
     # build is the E2E bottleneck on weak hosts (~230M probes in 6-D).
@@ -199,9 +204,10 @@ class DeepGlobalRegistration:
                  fcgf_model=None, inlier_model=None, fcgf_dim: int = 32):
         self.config = config or DGRConfig()
         self.fcgf_dim = fcgf_dim
-        self.fcgf = fcgf_model or FCGFNet(conv1_kernel_size=7)
+        nd = jnp.dtype(self.config.net_dtype)
+        self.fcgf = fcgf_model or FCGFNet(conv1_kernel_size=7, dtype=nd)
         self.inlier = inlier_model or GMFInlierNet(
-            in_channels=self.inlier_feature_dim())
+            in_channels=self.inlier_feature_dim(), dtype=nd)
         self.fcgf_vars = fcgf_variables
         self.inlier_vars = inlier_variables
         self._fcgf_apply = jax.jit(

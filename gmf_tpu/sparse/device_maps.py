@@ -75,20 +75,49 @@ def _int32_frame_fits(in_coords: np.ndarray, out_coords: np.ndarray,
 
 def device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
                       out_valid_mask, sentinel: int, method: str = "hash",
-                      compact: bool = False):
+                      compact: bool = False, dense_cells: int = 0,
+                      lattice: int = 1):
     """Public wrapper: runs the jitted body under a scoped x64 context so
     the int64 key packing is real (JAX defaults to 32-bit ints)."""
     with jax.enable_x64():
         return _device_kernel_map(in_coords, out_coords, offsets,
                                   in_valid_mask, out_valid_mask,
                                   sentinel=sentinel, method=method,
-                                  compact=compact)
+                                  compact=compact, dense_cells=dense_cells,
+                                  lattice=lattice)
 
 
-@partial(jax.jit, static_argnames=("sentinel", "method", "compact"))
+def _dense_cells_bound(in_coords: np.ndarray, out_coords: np.ndarray,
+                       slack: int, lattice: int = 1) -> int:
+    """Host-side cell count of the packed joint frame (coords are host
+    arrays in the builder), rounded up to a power of two so the jitted
+    dense-table probe compiles once per bucket instead of per pair.
+
+    ``lattice``: level coords live on a stride-2^l lattice in original
+    units; the dense table indexes lattice CELLS, so spans divide by it.
+    """
+    if len(in_coords) == 0 or len(out_coords) == 0:
+        return 0
+    in_coords = in_coords // lattice
+    out_coords = out_coords // lattice
+    slack = slack // lattice
+    lo = np.minimum(in_coords.min(0), out_coords.min(0) - slack)
+    spans = np.maximum(in_coords.max(0).astype(np.int64) - lo + 1, 1)
+    prod = 1
+    for s in spans:
+        prod *= int(s)
+        if prod > 2 ** 40:
+            return 0
+    return 1 << max(int(np.ceil(np.log2(prod))), 4)
+
+
+@partial(jax.jit,
+         static_argnames=("sentinel", "method", "compact", "dense_cells",
+                          "lattice"))
 def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
                        out_valid_mask, sentinel: int, method: str = "hash",
-                       compact: bool = False):
+                       compact: bool = False, dense_cells: int = 0,
+                       lattice: int = 1):
     """Dense per-offset neighbor table, computed on device.
 
     Args:
@@ -111,6 +140,12 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
     Returns nbr [K, M] int32.
     """
     N, D = in_coords.shape
+    if lattice > 1:
+        # level coords / offsets are exact multiples of the lattice
+        # stride; packing lattice cells keeps the dense table small
+        in_coords = in_coords // lattice
+        out_coords = out_coords // lattice
+        offsets = offsets // lattice
     # joint packing frame (computed on device from the data)
     big = jnp.int32(1 << 20)
     in_valid = in_valid_mask > 0
@@ -154,6 +189,28 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
 
     if method == "sort":
         return sorted_path(None)
+
+    if dense_cells:
+        # ---- direct-address dense table --------------------------------
+        # When the packed joint frame is small (host-checked via
+        # _dense_cells_bound: coarse 6-D levels are ~8^3 x 8^3 = 262k
+        # cells; every 3-D level fits too), index a [cells] table by the
+        # key itself: ONE gather per query, no chains, no multiplicity
+        # sensitivity, no aliasing (no hashing). 3x fewer gathers than
+        # the 3-table hash and immune to the dense-coarse-level regime
+        # that breaks chained hashing (r3: level-2 self map 1.18 s hash
+        # -> ~0.3 s dense at 22k voxels).
+        guard = jnp.prod(spans) > dense_cells    # host/device frame skew
+
+        def dense_path(_):
+            kv = jnp.where(in_valid, keys, jnp.int64(dense_cells))
+            table = jnp.full((dense_cells,), jnp.int32(sentinel)).at[
+                kv].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+            q = jnp.clip(qkeys, 0, dense_cells - 1)
+            hit = table[q]                               # [K, M] gather
+            return jnp.where(in_range, hit, sentinel)
+
+        return jax.lax.cond(guard, sorted_path, dense_path, None)
 
     # ---- 3-table displacement hash ----------------------------------
     # Each table has one slot per bucket; an entry packs (key << IB | row)
@@ -229,6 +286,16 @@ def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
     flip an in-graph cond to the exact full-key binary search, so the map
     stays exact for ANY input.
 
+    Two-pass mode (``chains_t > 0``): rows where ``src_pass == 0`` go
+    into TGT-part chained tables instead, probed with the Kt x M tgt
+    query keys and verified against the src part by broadcast. The host
+    routes each src-key group's first few rows src-side and the EXCESS
+    rows tgt-side, so a handful of very hot src keys (coarse-level
+    multiplicity 50+) no longer force either a huge chain count or the
+    13.5x-more-gathers full 729-offset probe — probe cost stays
+    ~(chains + chains_t) table rounds. r3 measurement at 22k voxels:
+    the level-2 self map drops 1.18 s (full) -> ~0.3 s (two-pass).
+
     Returns nbr [(Ks*Kt), M] int32 — bit-identical to
     ``device_kernel_map(in, out, cartesian(offs_s, offs_t), ...)``.
     """
@@ -239,10 +306,28 @@ def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
             compact=compact)
 
 
-@partial(jax.jit, static_argnames=("sentinel", "chains", "compact"))
+def device_kernel_map_split2(in_coords, out_coords, offs_s, offs_t,
+                             in_valid_mask, out_valid_mask, src_pass,
+                             sentinel: int, chains: int, chains_t: int,
+                             compact: bool = False):
+    """Two-pass split probe (see device_kernel_map_split docstring).
+
+    src_pass: [N] 1/0 — rows hashed by SRC part (1) vs TGT part (0).
+    chains / chains_t: chain counts for the two table sets.
+    """
+    with jax.enable_x64():
+        return _device_kernel_map_split(
+            in_coords, out_coords, offs_s, offs_t, in_valid_mask,
+            out_valid_mask, sentinel=sentinel, chains=chains,
+            chains_t=chains_t, src_pass=src_pass, compact=compact)
+
+
+@partial(jax.jit,
+         static_argnames=("sentinel", "chains", "chains_t", "compact"))
 def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
                              in_valid_mask, out_valid_mask, sentinel: int,
-                             chains: int = 1, compact: bool = False):
+                             chains: int = 1, chains_t: int = 0,
+                             src_pass=None, compact: bool = False):
     N = in_coords.shape[0]
     M = out_coords.shape[0]
     Ks, Ds = offs_s.shape
@@ -342,8 +427,10 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
         u = k.astype(jnp.uint64) * jnp.uint64(mult)
         return (u >> jnp.uint64(64 - b)).astype(jnp.int32)
 
+    src_sel = in_valid if src_pass is None else (in_valid & (src_pass > 0))
+
     tables = []
-    pending = in_valid
+    pending = src_sel
     for c in range(chains):
         for mult in mults:
             h = jnp.where(pending, hash_of(s_keys_c, mult), T)
@@ -353,6 +440,28 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
             pending = pending & ~placed
             tables.append((t, mult))
     overflow = jnp.any(pending) | ~key_fits
+
+    # tgt-part chained tables for the rows routed off the src side
+    t_tables = []
+    if chains_t:
+        # tgt keys enter entries too: they must also fit the packed width
+        key_fits = key_fits & (
+            jnp.max(jnp.where(in_valid, t_keys, 0))
+            < (jnp.int64(1) << key_bits))
+        t_keys_valid = jnp.where(in_valid, t_keys,
+                                 jnp.int64(2 ** 62)).astype(kdtype)
+        entries_t = (t_keys_valid << IB) | rows
+        pending_t = in_valid & ~src_sel
+        for c in range(chains_t):
+            for mult in mults:
+                h = jnp.where(pending_t, hash_of(t_keys_valid, mult), T)
+                t = jnp.full((T,), kdtype(empty)).at[h].set(
+                    entries_t, mode="drop")
+                placed = pending_t & (t[jnp.minimum(h, T - 1)]
+                                      == entries_t)
+                pending_t = pending_t & ~placed
+                t_tables.append((t, mult))
+        overflow = overflow | jnp.any(pending_t) | ~key_fits
 
     def hash_path(_):
         idx = jnp.full((Ks, Kt, M), sentinel, jnp.int32)
@@ -367,6 +476,16 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
             m3 = (s_hit[:, None, :] & t_range[None, :, :]
                   & (tk[:, None, :] == qk_t_c[None, :, :]))   # [Ks, Kt, M]
             idx = jnp.where(m3 & ~found, cand_safe[:, None, :], idx)
+            found = found | m3
+        for t, mult in t_tables:                     # symmetric tgt probe
+            e = t[hash_of(qk_t_c, mult)]                      # [Kt, M] gather
+            t_hit = ((e >> IB) == qk_t_c) & t_range
+            cand = (e & ((1 << IB) - 1)).astype(jnp.int32)
+            cand_safe = jnp.where(t_hit, cand, 0)
+            sk = s_keys_c[cand_safe]                          # [Kt, M] gather
+            m3 = (t_hit[None, :, :] & s_range[:, None, :]
+                  & (sk[None, :, :] == qk_s_c[:, None, :]))   # [Ks, Kt, M]
+            idx = jnp.where(m3 & ~found, cand_safe[None, :, :], idx)
             found = found | m3
         return idx.reshape(Ks * Kt, M)
 
@@ -452,36 +571,92 @@ def build_pyramid_arrays_device(
     # 6-D hypercube maps use the separable SRC/TGT probe when the in-side
     # src-part multiplicity allows (host-known: level coords are built
     # here). chains*3 hash tables hold up to chains*3 duplicates of one
-    # src key; beyond that the full-key probe stays exact anyway.
-    split_chains = []
+    # src key; beyond SPLIT_RANK_CAP duplicates the EXCESS rows of each
+    # hot src key are routed to TGT-part chained tables instead (the
+    # two-pass probe) — the 6-D keys are unique, so excess rows almost
+    # always have low tgt-part multiplicity. This keeps coarse levels
+    # (multiplicity 50+) on the cheap split probe instead of the
+    # 13.5x-more-gathers full 729-offset probe (r3: level-2 self map
+    # 1.18 s -> ~0.3 s at 22k voxels).
+    SPLIT_RANK_CAP = 6          # rows per src key kept src-side
+    split_plan = []             # (chains, chains_t, src_pass or None)
     for l, c in enumerate(level_coords):
-        if dim == 6 and region == "hypercube" and len(c):
-            _, counts = np.unique(c[:, :3], axis=0, return_counts=True)
-            chains = -(-int(counts.max()) // 3)
-            # +1 chain of slack when duplicates exist: ceil(mult/3) is
-            # exactly tight, so a single slot-race loss to an unrelated
-            # key would leave a row unplaced and flip the WHOLE map to
-            # the sorted fallback (measured 6 s at 30k voxels — 50x the
-            # hash path). Three spare slots make that ~impossible.
-            split_chains.append(chains + 1 if chains >= 2 else chains)
+        if not (dim == 6 and region == "hypercube" and len(c)):
+            split_plan.append((0, 0, None))
+            continue
+        _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
+                                   return_counts=True)
+        gid = gid.reshape(-1)
+        chains = -(-int(counts.max()) // 3)
+        # +1 chain of slack when duplicates exist: ceil(mult/3) is
+        # exactly tight, so a single slot-race loss to an unrelated
+        # key would leave a row unplaced and flip the WHOLE map to
+        # the sorted fallback (measured 6 s at 30k voxels — 50x the
+        # hash path). Three spare slots make that ~impossible.
+        chains = chains + 1 if chains >= 2 else chains
+        if chains <= 4:
+            split_plan.append((chains, 0, None))
+            continue
+        # two-pass routing: rank rows within their src-key group
+        n = len(c)
+        order = np.argsort(gid, kind="stable")
+        sg = gid[order]
+        starts = np.r_[0, np.nonzero(np.diff(sg))[0] + 1]
+        seg_len = np.diff(np.r_[starts, n])
+        ranks_sorted = np.arange(n) - np.repeat(starts, seg_len)
+        rank = np.empty(n, np.int64)
+        rank[order] = ranks_sorted
+        src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
+        excess = rank >= SPLIT_RANK_CAP
+        ch_s = SPLIT_RANK_CAP // 3 + 1          # slots cover the cap + slack
+        if not excess.any():
+            split_plan.append((ch_s, 0, None))
+            continue
+        _, tcounts = np.unique(c[excess][:, 3:], axis=0,
+                               return_counts=True)
+        ch_t = -(-int(tcounts.max()) // 3)
+        ch_t = ch_t + 1 if ch_t >= 2 else ch_t
+        if ch_s + ch_t > 13:
+            split_plan.append((0, 0, None))     # full probe fallback
         else:
-            split_chains.append(0)
+            split_plan.append((ch_s, ch_t, src_pass))
+
+    # 128 MB table budget (2^25 cells x int32): covers every 3-D level
+    # (~30^3 cells incl the conv1 7^3 slack) and 6-D levels >= 1 at
+    # 3DMatch scale (level 1 ~17^3 x 17^3 = 24M cells); only the finest
+    # 6-D level exceeds it and stays on the split hash probe. HBM is
+    # 16 GB — a transient 128 MB table is cheap against the 24 gathers
+    # per query the ch=4 chained hash pays.
+    DENSE_CELL_BUDGET = 1 << 25
 
     def probe(l_in, l_out, kernel_size, t_stride):
-        chains = split_chains[l_in]
+        chains, chains_t, src_pass = split_plan[l_in]
         in_c, out_c = level_coords[l_in], level_coords[l_out]
         slack = t_stride * (kernel_size // 2)
-        # chains <= 13: the split probe gathers chains*3*2*27 elements
-        # per query column vs the full probe's 3*729 — equal cost at
-        # chains ~= 13 (measured: split ch=7 is ~1.7x faster than full at
-        # M=8192 on v5e even before the int32 packing). Beyond that the
-        # full probe wins.
-        if kernel_size == 3 and 1 <= chains <= 13:
+        cells = _dense_cells_bound(in_c, out_c, slack, lattice=t_stride)
+        if 0 < cells <= DENSE_CELL_BUDGET:
+            k = offs_fn(kernel_size, dim, t_stride)
+            return device_kernel_map(
+                cpad_l[l_in], cpad_l[l_out], jnp.asarray(k), mask_l[l_in],
+                mask_l[l_out], sentinel=cap_l[l_in], dense_cells=cells,
+                lattice=t_stride)
+        if kernel_size == 3 and chains >= 1:
             k3s = jnp.asarray(offs_fn(3, 3, t_stride))
+            # two-pass packs TGT keys with row ids too -> with_rows on
+            # both frames; single-pass only needs bare tgt compare keys
             comp = (_int32_frame_fits(in_c[:, :3], out_c[:, :3], slack,
                                       cap_l[l_in], with_rows=True)
                     and _int32_frame_fits(in_c[:, 3:], out_c[:, 3:], slack,
-                                          cap_l[l_in], with_rows=False))
+                                          cap_l[l_in],
+                                          with_rows=chains_t > 0))
+            if chains_t:
+                sp = np.zeros(cap_l[l_in], np.float32)
+                sp[: len(src_pass)] = src_pass
+                return device_kernel_map_split2(
+                    cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
+                    mask_l[l_out], jnp.asarray(sp),
+                    sentinel=cap_l[l_in], chains=chains,
+                    chains_t=chains_t, compact=comp)
             return device_kernel_map_split(
                 cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
                 mask_l[l_out], sentinel=cap_l[l_in], chains=chains,

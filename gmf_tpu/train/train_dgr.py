@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--resume", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--n-points", type=int, default=None,
+                    help="synthetic pair size (default: 300 tiny / 2000)")
+    ap.add_argument("--cloud", choices=["uniform", "surface"],
+                    default="uniform",
+                    help="synthetic pair geometry: 'surface' (heightfield) "
+                         "gives FPFH meaningful normals — required for a "
+                         "learnable --descriptor fpfh synthetic run")
     args = ap.parse_args()
 
     import jax
@@ -85,8 +92,10 @@ def main():
     rng = np.random.RandomState(0)
 
     # init variables on one prototype pair
-    proto = make_dgr_pair(rng, n_points=300 if args.tiny else 2000,
-                          voxel_size=cfg.voxel_size, image_hw=image_hw)
+    n_points = args.n_points or (300 if args.tiny else 2000)
+    proto = make_dgr_pair(rng, n_points=n_points,
+                          voxel_size=cfg.voxel_size, image_hw=image_hw,
+                          surface=args.cloud == "surface")
     pyr3 = build_pyramid(proto["coords0"], 4,
                          conv1_kernel_size=cfg.feat_conv1_kernel_size
                          if not args.tiny else 3, granule=granule)
@@ -121,9 +130,10 @@ def main():
 
         def epoch_pairs():
             for _ in range(spe):
-                yield [make_dgr_pair(rng, n_points=300 if args.tiny else 2000,
+                yield [make_dgr_pair(rng, n_points=n_points,
                                      voxel_size=cfg.voxel_size,
-                                     image_hw=image_hw)
+                                     image_hw=image_hw,
+                                     surface=args.cloud == "surface")
                        for _ in range(cfg.batch_size)]
     else:
         from gmf_tpu.data.dgr_loader import ThreeDMatchPairDataset

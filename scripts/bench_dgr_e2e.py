@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="small nets + small pair (smoke)")
+    ap.add_argument("--kitti", action="store_true",
+                    help="KITTI preset: voxel 0.3, FCGF conv1=5 "
+                         "(config_Kitti.py:49,97), 120k-point lidar-scale "
+                         "cloud (scripts/test_kitti.py protocol)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 sparse-net compute (halves the conv "
                          "gather HBM traffic; geometry stays f32)")
@@ -84,6 +88,13 @@ def main():
             in_channels=1, out_channels=1, dim=6, conv1_kernel_size=3,
             with_gmf_fusion=True, image_dim=16, channels=(4, 8, 16, 32),
             tr_channels=(8, 8, 8, 16), dtype=dt)
+    elif args.kitti:
+        # KITTI deltas (config_Kitti.py:49,97): voxel 0.3, feat conv1=5
+        if args.pts == 40000:
+            args.pts = 120000
+        cfg = DGRConfig(voxel_size=0.3, device_kernel_maps=dev_maps)
+        fcgf = FCGFNet(conv1_kernel_size=5, dtype=dt)
+        inlier = GMFInlierNet(dtype=dt)
     else:
         cfg = DGRConfig(device_kernel_maps=dev_maps)
         fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)

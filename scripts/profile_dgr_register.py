@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--cloud", choices=["uniform", "surface"],
                     default="uniform")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 net compute (DGRConfig.net_dtype)")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +49,13 @@ def main():
     )
     from gmf_tpu.sparse.voxelize import sparse_quantize
 
-    cfg = DGRConfig(device_kernel_maps=None if not args.cpu else False)
-    fcgf = FCGFNet(conv1_kernel_size=7)
-    inlier = GMFInlierNet()
+    import jax.numpy as _jnp
+
+    dt = _jnp.bfloat16 if args.bf16 else _jnp.float32
+    cfg = DGRConfig(device_kernel_maps=None if not args.cpu else False,
+                    net_dtype="bfloat16" if args.bf16 else "float32")
+    fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)
+    inlier = GMFInlierNet(dtype=dt)
     H, W = cfg.image_hw
 
     rng = np.random.RandomState(0)
@@ -129,10 +135,11 @@ def main():
                 fits = (_int32_frame_fits(c[:, :3], c[:, :3], 2 ** l, cap)
                         and _int32_frame_fits(c[:, 3:], c[:, 3:], 2 ** l,
                                               cap, with_rows=False))
+                path = ("split" if 1 <= ch <= 4 else
+                        "split2" if counts.max() > 0 else "FULL")
                 print(f"  level {l}: n={len(c)} cap={cap} "
                       f"max_mult={int(counts.max())} chains={ch} "
-                      f"i32={fits} path="
-                      f"{'split' if 1 <= ch <= 13 else 'FULL'}")
+                      f"i32={fits} path={path}")
 
         arrays = eng._pyramid_arrays(uniq, conv1_kernel_size=3,
                                      granule=cfg.corr_cap_granule)

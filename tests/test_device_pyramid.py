@@ -36,8 +36,9 @@ def test_pyramid_hypercross(rng):
 
 def test_pyramid_6d_degenerate_multiplicity(rng):
     """Extreme src-part multiplicity (>39 pairs per src voxel) routes the
-    affected levels to the C++ host builder (hybrid build) — the output
-    must stay bit-equal to the all-host pyramid."""
+    EXCESS rows of each hot src key to the tgt-part tables (the two-pass
+    split probe) — the output must stay bit-equal to the all-host
+    pyramid."""
     src = rng.randint(0, 2, (500, 3)).astype(np.int32)  # ~60 per src part
     tgt = rng.randint(0, 10, (500, 3)).astype(np.int32)
     coords = np.unique(np.concatenate([src, tgt], axis=1), axis=0)

@@ -1,0 +1,146 @@
+"""Closed train -> checkpoint -> eval loops on synthetic data.
+
+VERDICT r2 item 3: train BOTH pipelines from scratch through the real
+CLIs, checkpoint, and evaluate the checkpoint through the real harness.
+With no datasets or released checkpoints in this environment, synthetic
+convergence is the strongest available evidence that the
+train->checkpoint->eval loop actually closes (SURVEY §4
+"benchmark-eval-as-test").
+
+Learning evidence: PointDSC's seed/spectral/Kabsch machinery registers
+clean synthetic pairs even untrained (recall saturates at 100%), so the
+discriminating signal is the CLASSIFIER head — trained confidence BCE
+against ground-truth labels must drop well below the untrained ~log(2).
+
+These run real training epochs on CPU (~2-4 min each with a warm
+compile cache).
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+
+def _bce(conf, labels):
+    p = np.clip(conf, 1e-6, 1 - 1e-6)
+    return float(-(labels * np.log(p) + (1 - labels) * np.log(1 - p)).mean())
+
+
+@pytest.mark.slow
+def test_pointdsc_train_checkpoint_eval_loop(tmp_path, monkeypatch):
+    from gmf_tpu.data.synthetic import make_correspondence_problem
+    from gmf_tpu.eval.harness import evaluate_pairs
+    from gmf_tpu.eval.registration import PointDSCRegistrar
+    from gmf_tpu.eval.solvers import make_register_fn
+    from gmf_tpu.train import train_pointdsc
+    from gmf_tpu.utils.model_io import load_pointdsc
+
+    save = str(tmp_path / "snap")
+    monkeypatch.setattr(sys, "argv", [
+        "train_pointdsc", "--dataset", "synthetic", "--tiny", "--cpu",
+        "--max-epoch", "2", "--steps-per-epoch", "8", "--batch-size", "8",
+        "--save-dir", save, "--lr", "1e-3",
+    ])
+    train_pointdsc.main()                      # the real training CLI
+    assert os.path.isdir(os.path.join(save, "model_best"))
+    # recall-stamped epoch snapshots (libs/trainer.py:272-277 contract)
+    stamped = [d for d in os.listdir(save) if d.startswith("model_")
+               and "recall" in d]
+    assert len(stamped) == 2
+
+    model, variables = load_pointdsc(os.path.join(save, "model_best"))
+
+    # held-out pairs, same distribution, fresh seed
+    rng = np.random.RandomState(999)
+    pairs = []
+    for _ in range(8):
+        b = make_correspondence_problem(rng, num_corr=256, batch=1,
+                                        inlier_ratio=0.5, image_hw=(24, 32))
+        pairs.append({k: v[0] for k, v in b.items()})
+
+    # the REAL eval harness consumes the trained checkpoint
+    reg = PointDSCRegistrar(model, variables, buckets=(256,))
+    stats = evaluate_pairs(make_register_fn(reg), iter(pairs))
+    assert stats[:, 0].mean() == 1.0           # recall 100% on held-out
+
+    # learning evidence: trained classifier beats the untrained head
+    fresh = model.init(
+        jax.random.PRNGKey(7), np.zeros((1, 64, 6), np.float32),
+        np.zeros((1, 64, 3), np.float32), np.zeros((1, 64, 3), np.float32),
+        np.zeros((1, 24, 32, 3), np.float32),
+        np.zeros((1, 24, 32, 3), np.float32))
+
+    def mean_conf_bce(vs):
+        tot = []
+        for p in pairs:
+            out = model.apply(
+                vs, p["corr_pos"][None], p["src_keypts"][None],
+                p["tgt_keypts"][None], p["p_image"][None],
+                p["q_image"][None], testing=False)
+            tot.append(_bce(np.asarray(out["confidence"])[0], p["labels"]))
+        return float(np.mean(tot))
+
+    bce_trained = mean_conf_bce(variables)
+    bce_untrained = mean_conf_bce(fresh)
+    assert bce_trained < bce_untrained - 0.1, (bce_trained, bce_untrained)
+
+
+@pytest.mark.slow
+def test_dgr_train_checkpoint_eval_loop(tmp_path, monkeypatch):
+    from gmf_tpu.configs.presets import dgr_3dmatch
+    from gmf_tpu.data.dgr_loader import make_dgr_pair
+    from gmf_tpu.train import train_dgr
+    from gmf_tpu.train.dgr_trainer import WeightedProcrustesTrainer
+    from gmf_tpu.utils.checkpoint import load_checkpoint
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dgr_trainer import tiny_nets
+
+    # FPFH descriptor mode + surface clouds: the frozen-FCGF synthetic
+    # path has no trained descriptor, so NN matches are ~random (1% hit
+    # ratio) and nothing is learnable; geometry FPFH on a heightfield
+    # gives ~46% correct matches (r3 measurement) — the regime the
+    # reference trains in.
+    save = str(tmp_path / "snap")
+    monkeypatch.setattr(sys, "argv", [
+        "train_dgr", "--dataset", "synthetic", "--tiny", "--cpu",
+        "--descriptor", "fpfh", "--cloud", "surface", "--n-points", "600",
+        "--max-epoch", "2", "--steps-per-epoch", "2", "--batch-size", "4",
+        "--save-dir", save,
+    ])
+    train_dgr.main()                           # the real training CLI
+    assert os.path.isdir(os.path.join(save, "best_val_checkpoint"))
+    assert os.path.isdir(os.path.join(save, "checkpoint_epoch_2"))
+
+    fcgf, fv, inlier, iv = tiny_nets()
+    cfg = dgr_3dmatch()
+    rng = np.random.RandomState(123)
+    held = [make_dgr_pair(rng, n_points=600, voxel_size=cfg.voxel_size,
+                          image_hw=(16, 16), surface=True)
+            for _ in range(4)]
+
+    v_untrained = WeightedProcrustesTrainer(
+        fcgf, fv, inlier, iv, cfg, voxel_cap_granule=256,
+        corr_cap_granule=256, descriptor="fpfh").validate(held)
+
+    state, ckpt_cfg = load_checkpoint(os.path.join(save,
+                                                   "best_val_checkpoint"))
+    assert "dgr" in (ckpt_cfg or {})           # config embedded in ckpt
+    v_trained = WeightedProcrustesTrainer(
+        fcgf, fv, inlier,
+        {"params": jax.tree.map(np.asarray, state["params"]),
+         "batch_stats": jax.tree.map(np.asarray,
+                                     state.get("batch_stats", {}))},
+        cfg, voxel_cap_granule=256, corr_cap_granule=256,
+        descriptor="fpfh").validate(held)
+
+    # recall 100% on held-out pairs with the trained checkpoint
+    assert v_trained["success"] == 1.0, v_trained
+    assert np.isfinite(v_trained["rte"]) and v_trained["rte"] < 0.3
+    # learning evidence: trained inlier classifier way above untrained
+    # (r3 measurement: F1 0.476 trained vs 0.008 untrained)
+    assert v_trained["f1"] > max(0.2, v_untrained["f1"] + 0.1), (
+        v_trained, v_untrained)
