@@ -1,0 +1,243 @@
+"""Compacted tile schedules for the 6-D sparse convolution.
+
+The dense kernel-map conv (conv.py) gathers K' x M rows per map even
+though 6-D maps are 0.3-5% occupied — ~230M gathered rows per inlier-net
+forward at 22k correspondences, ~95% of them the zero sentinel
+(scripts/measure_block_occupancy.py). This module turns a dense map into
+an exact two-tier schedule:
+
+  dense tier — offsets with >= M/2 hits keep their original [Kd, M]
+               rows and run the scan-accumulate conv (no scatter; the
+               accumulator never leaves VMEM). A compact row pays ~2
+               HBM row touches (gather + scatter) vs 1 dense, hence
+               the M/2 rule.
+  tile tier  — every other offset's hit list is split into fixed-width
+               tiles of T columns: (in_idx [Nt, T], out_idx [Nt, T],
+               kept [Nt]) with kept the tile's offset id (repeats
+               allowed). Partial tiles pad with (cap_in, cap_out) —
+               the input zero row in, the output trash row out.
+
+The FIXED tile width is what keeps jit happy across pairs: the only
+shape variables are the pow2-bucketed tile count and dense-tier size,
+so the big inlier-net executable is reused across pairs instead of
+retracing on every new occupancy histogram (a variable per-group
+bucket design recompiled the net per pair).
+
+The conv consumes tiles as gather -> batched GEMM -> scatter-add
+(conv.py sparse_conv_compact). Schedule construction runs in ONE
+jitted dispatch per map (per-group dispatches paid ~100 tunnel round
+trips — seconds on a relay-attached TPU), and only the hit COLUMNS are
+scattered; in_idx derives from them by an element gather out of the
+dense map (TPU element scatters run ~5x slower than gathers).
+
+Up (transpose) schedules are derived from down schedules for free:
+pair (j_coarse <- i_fine) lists are the SAME pairs with in/out swapped
+— no extra probing or compaction.
+
+Replaces the per-offset in/out pair lists MinkowskiEngine's GPU conv
+builds in C++ (SURVEY.md §2.5); the reference's torch path never needed
+this because ME scatters with CUDA atomics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 128          # fixed tile width (lane-dim friendly GEMM batches)
+SEG_GRANULE = 8     # dense-tier / compact-row counts pad to this
+
+
+def _pow2_bucket(x: int, lo: int = SEG_GRANULE) -> int:
+    b = lo
+    while b < x:
+        b <<= 1
+    return b
+
+
+def plan_tiles(counts: np.ndarray, m: int, tile: int = TILE
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Partition active offsets into a dense tier + fixed-width tiles.
+
+    Args:
+      counts: [K] per-offset hit counts (host ints).
+      m: output width of the map (cap_out).
+
+    Returns (dense_ids [Kd], compact_ids [Kc], tiles_per_id [Kc]) — ids
+    index the ORIGINAL offset axis, count-descending.
+    """
+    counts = np.asarray(counts)
+    ids = np.nonzero(counts > 0)[0]
+    order = np.argsort(-counts[ids], kind="stable")
+    ids = ids[order].astype(np.int32)
+    c = counts[ids]
+    dense = 2 * c >= m
+    return (ids[dense], ids[~dense],
+            (-(-c[~dense] // tile)).astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=(
+    "kd_pad", "kc_pad", "nt_pad", "tile", "cap_in", "cap_out", "with_up"))
+def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
+                 nt_pad: int, tile: int, cap_in: int, cap_out: int,
+                 with_up: bool):
+    """Whole-map compaction in ONE dispatch.
+
+    Args:
+      nbr: [K, M] dense neighbor table, sentinel = cap_in.
+      ids: [kd_pad + kc_pad] offset ids, dense tier first, each segment
+        zero-padded.
+      sizes: [2] true segment sizes (kd, kc).
+      tile_base: [kc_pad] starting tile index per compact offset
+        (cumsum of tiles_per_id; padded rows point at tile nt_pad).
+      with_up: also emit the transpose dense tier [kd_pad, cap_in]
+        (inversion-scatter; tile transposes are an index swap, free).
+
+    Returns (dense_rows, dense_kept, up_dense, in_idx [nt_pad, tile],
+    out_idx [nt_pad, tile], tile_kept [nt_pad]); padded slots gather the
+    zero row and scatter to the trash row, contributing nothing.
+    """
+    M = nbr.shape[1]
+    dense_rows = dense_kept = up_dense = None
+    if kd_pad:
+        dids = ids[:kd_pad]
+        dmask = jnp.arange(kd_pad, dtype=jnp.int32) < sizes[0]
+        dense_rows = jnp.where(dmask[:, None], nbr[dids], cap_in)
+        dense_kept = jnp.where(dmask, dids, 0)
+        if with_up:
+            r = jnp.broadcast_to(
+                jnp.arange(kd_pad, dtype=jnp.int32)[:, None],
+                dense_rows.shape)
+            c = jnp.broadcast_to(
+                jnp.arange(M, dtype=jnp.int32)[None, :], dense_rows.shape)
+            # up sentinel = cap_out (the UP conv's input capacity);
+            # sentinel fwd in-indices (== cap_in) fall out of bounds
+            # of the [.., cap_in] scatter and drop.
+            up_dense = jnp.full((kd_pad, cap_in), cap_out,
+                                jnp.int32).at[r, dense_rows].set(
+                                    c, mode="drop")
+    if kc_pad == 0 or nt_pad == 0:
+        empty = jnp.zeros((0, tile), jnp.int32)
+        return (dense_rows, dense_kept, up_dense, empty, empty,
+                jnp.zeros((0,), jnp.int32))
+
+    cids = ids[kd_pad:kd_pad + kc_pad]
+    cmask = jnp.arange(kc_pad, dtype=jnp.int32) < sizes[1]
+    rows = jnp.where(cmask[:, None], nbr[cids], cap_in)   # [kc_pad, M]
+    # cums[r, m] = hits of row r in columns [0..m]
+    cums = jnp.cumsum((rows != cap_in).astype(jnp.int32), axis=1)
+    # tile -> compact-row table via searchsorted on tile_base (monotone,
+    # padded rows all point at tile nt_pad so empty tiles resolve to the
+    # last real row — their slots find no hit and pack as empty anyway).
+    t_row = jnp.searchsorted(tile_base, jnp.arange(nt_pad, dtype=jnp.int32),
+                             side="right").astype(jnp.int32) - 1
+    t_row = jnp.clip(t_row, 0, kc_pad - 1)
+    tile_kept = cids[t_row]
+    # slot (t, j) wants the q-th hit of its row; find its column by
+    # binary search on the row cumsum — ~log2(M) rounds of ELEMENT
+    # gathers sized by the tile capacity, instead of a K x M element
+    # scatter (TPU scatters ran ~64 ms/map at 22k voxels; this is ~5 ms).
+    q = ((jnp.arange(nt_pad, dtype=jnp.int32) - tile_base[t_row])[:, None]
+         * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]) + 1
+    lo = jnp.zeros((nt_pad, tile), jnp.int32)
+    hi = jnp.full((nt_pad, tile), M, jnp.int32)
+    r2 = t_row[:, None]
+    for _ in range(max(1, int(np.ceil(np.log2(M + 1))))):
+        mid = (lo + hi) // 2
+        right = cums[r2, jnp.minimum(mid, M - 1)] < q
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(right, hi, mid)
+    empty = lo >= M
+    col = jnp.minimum(lo, M - 1)
+    in_idx = jnp.where(empty, cap_in, rows[r2, col])
+    out_idx = jnp.where(empty, cap_out, col)
+    return dense_rows, dense_kept, up_dense, in_idx, out_idx, tile_kept
+
+
+def build_compact_schedule(nbr, counts: np.ndarray, cap_in: int,
+                           cap_out: int, tile: int = TILE,
+                           with_transpose: bool = False):
+    """Build the two-tier schedule for one dense map.
+
+    Args:
+      nbr: [K, M] device (or host) neighbor table, sentinel = cap_in.
+      counts: [K] host per-offset hit counts (sum over valid columns).
+      cap_in / cap_out: input and output capacities (sentinel values).
+      with_transpose: also return the up-conv schedule derived from
+        this one (same pairs, in/out swapped — no extra probing).
+
+    Returns sched — {"dense": (rows [Kd, M], kept [Kd]) | None,
+    "groups": ((in_idx [Nt, T], out_idx [Nt, T], kept [Nt]),)} with all
+    index arrays on device; kept ids index the FULL offset axis — or
+    (sched, up_sched) when with_transpose.
+    """
+    nbr = jnp.asarray(nbr)
+    dense_ids, compact_ids, tiles_per = plan_tiles(counts, int(cap_out),
+                                                   tile=tile)
+    kd, kc, nt = len(dense_ids), len(compact_ids), int(tiles_per.sum())
+    kd_pad = _pow2_bucket(kd) if kd else 0
+    kc_pad = _pow2_bucket(kc) if kc else 0
+    nt_pad = _pow2_bucket(nt) if nt else 0
+    ids = np.zeros(kd_pad + kc_pad, np.int32)
+    ids[:kd] = dense_ids
+    ids[kd_pad:kd_pad + kc] = compact_ids
+    base = np.full(max(kc_pad, 1), nt_pad, np.int32)
+    base[:kc] = np.cumsum(tiles_per) - tiles_per
+    dense_rows, dense_kept, up_dense, in_idx, out_idx, kept = _compact_map(
+        nbr, jnp.asarray(ids), jnp.asarray(np.array([kd, kc], np.int32)),
+        jnp.asarray(base[:kc_pad] if kc_pad else base[:0]),
+        kd_pad=kd_pad, kc_pad=kc_pad, nt_pad=nt_pad, tile=tile,
+        cap_in=int(cap_in), cap_out=int(cap_out),
+        with_up=with_transpose and kd_pad > 0)
+    groups = ((in_idx, out_idx, kept),) if nt_pad else ()
+    sched: Dict = {
+        "dense": None if not kd_pad else (dense_rows, dense_kept),
+        "groups": groups}
+    if not with_transpose:
+        return sched
+    up: Dict = {
+        "dense": None if up_dense is None else (up_dense, dense_kept),
+        "groups": tuple((o, i, k) for i, o, k in groups)}
+    return sched, up
+
+
+def transpose_schedule(sched: Dict, cap_in: int, cap_out: int) -> Dict:
+    """Up-conv schedule from a down-conv schedule (same pairs, in/out
+    swapped; ME indexes transpose kernels by the forward offset, so kept
+    ids carry over — see device_maps.build_pyramid_arrays_device).
+
+    cap_in / cap_out are the UP conv's capacities (coarse in, fine out).
+    A dense tier of the forward schedule becomes [Kd, cap_out] rows by
+    inversion-scatter (sentinel-heavy rows drop, like the dense up maps).
+
+    Prefer ``build_compact_schedule(..., with_transpose=True)`` — it
+    fuses this inversion into the map's single compaction dispatch.
+    """
+    out: Dict = {"dense": None, "groups": ()}
+    if sched["dense"] is not None:
+        rows, kept = sched["dense"]                     # [Kd, M_coarse]
+        Kd, Mc = rows.shape
+        up = jnp.full((Kd, cap_out), cap_in, jnp.int32)
+        r = jnp.broadcast_to(
+            jnp.arange(Kd, dtype=jnp.int32)[:, None], rows.shape)
+        c = jnp.broadcast_to(
+            jnp.arange(Mc, dtype=jnp.int32)[None, :], rows.shape)
+        up = up.at[r, rows].set(c, mode="drop")
+        out["dense"] = (up, kept)
+    out["groups"] = tuple(
+        (out_idx, in_idx, kept) for in_idx, out_idx, kept in
+        sched["groups"])
+    return out
+
+
+def schedule_row_stats(sched: Dict) -> Tuple[int, int]:
+    """(dense-tier rows, compact rows) — for logging / cost checks."""
+    d = 0
+    if sched["dense"] is not None:
+        d = int(np.prod(sched["dense"][0].shape))
+    c = sum(int(np.prod(g[0].shape)) for g in sched["groups"])
+    return d, c

@@ -64,6 +64,69 @@ def sparse_conv(x, weights, nbr, chunk: int = 32):
     return out.astype(x.dtype)
 
 
+def sparse_conv_compact(x, weights, schedule, out_rows: int,
+                        row_budget: int = 1 << 16,
+                        scatter_mode: str = "flat"):
+    """Two-tier compacted sparse convolution (see sparse/compact.py).
+
+    Args:
+      x: [cap_in + 1, Cin] features WITH sentinel row appended.
+      weights: [K_total, Cin, Cout] FULL kernel (kept ids select rows).
+      schedule: {"dense": (nbr [Kd, M], kept [Kd]) | None,
+                 "groups": ((in_idx, out_idx, kept [Kg]), ...)}.
+      out_rows: M (static) — output capacity; group out_idx pads point at
+        the trash row ``out_rows`` which is sliced off at the end.
+      row_budget: max gathered rows per scan step (VMEM bound).
+      scatter_mode: 'flat' (chunked scan, one colliding scatter-add per
+        step) or 'rowwise' (one offset per step, unique_indices scatter —
+        padded slots all hit the trash row, whose value is discarded).
+
+    Returns [M, Cout] float32-accumulated output, cast to x.dtype.
+    """
+    Cout = weights.shape[2]
+    acc = jnp.zeros((out_rows + 1, Cout), jnp.float32)
+    if schedule["dense"] is not None:
+        nbr, kept = schedule["dense"]
+        acc = acc.at[:out_rows].add(
+            sparse_conv(x, weights[kept], nbr).astype(jnp.float32))
+    for in_idx, out_idx, kept in schedule["groups"]:
+        Kg, L = in_idx.shape
+        w = weights[kept]
+        if scatter_mode == "rowwise":
+            chunk = 1
+        else:
+            chunk = max(1, min(Kg, row_budget // max(L, 1)))
+        pad = (-Kg) % chunk
+        if pad:
+            in_idx = jnp.concatenate(
+                [in_idx, jnp.full((pad, L), x.shape[0] - 1, jnp.int32)], 0)
+            out_idx = jnp.concatenate(
+                [out_idx, jnp.full((pad, L), out_rows, jnp.int32)], 0)
+            w = jnp.concatenate(
+                [w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], 0)
+        n_chunks = (Kg + pad) // chunk
+        i_c = in_idx.reshape(n_chunks, chunk, L)
+        o_c = out_idx.reshape(n_chunks, chunk * L)
+        w_c = w.reshape((n_chunks, chunk) + w.shape[1:])
+
+        def body(a, args):
+            ii, oo, ww = args
+            g = x[ii]                                  # [chunk, L, Cin]
+            z = jnp.einsum("klc,kcd->kld", g, ww,
+                           preferred_element_type=jnp.float32)
+            if scatter_mode == "rowwise":
+                # real indices are unique per offset row; only padded
+                # slots collide (all at the trash row, value discarded)
+                a = a.at[oo].add(z.reshape(-1, z.shape[-1]),
+                                 unique_indices=True)
+            else:
+                a = a.at[oo].add(z.reshape(-1, z.shape[-1]))
+            return a, None
+
+        acc, _ = jax.lax.scan(body, acc, (i_c, o_c, w_c))
+    return acc[:out_rows].astype(x.dtype)
+
+
 class SparseConv(nn.Module):
     """Flax wrapper holding the FULL [K_total, Cin, Cout] kernel.
 
@@ -86,7 +149,10 @@ class SparseConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_with_sentinel, nbr, kept=None):
+    def __call__(self, x_with_sentinel, nbr, kept=None, out_rows=None):
+        """nbr: dense [K', M] map (with ``kept`` weight ids), or a compact
+        schedule dict (sparse/compact.py) — then ``out_rows`` must give
+        the static output capacity M."""
         cin = x_with_sentinel.shape[-1]
         # ME initializes kernels with kaiming-uniform over fan = K*Cin.
         init = nn.initializers.variance_scaling(
@@ -94,9 +160,12 @@ class SparseConv(nn.Module):
         w = self.param(
             "kernel", init, (self.num_offsets, cin, self.out_channels),
             self.dtype)
-        if kept is not None:
-            w = w[kept]
-        out = sparse_conv(x_with_sentinel, w, nbr)
+        if isinstance(nbr, dict):
+            out = sparse_conv_compact(x_with_sentinel, w, nbr, out_rows)
+        else:
+            if kept is not None:
+                w = w[kept]
+            out = sparse_conv(x_with_sentinel, w, nbr)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.out_channels,), self.dtype)

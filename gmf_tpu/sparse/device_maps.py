@@ -572,15 +572,22 @@ def build_pyramid_arrays_device(
         coords: np.ndarray, num_levels: int, conv1_kernel_size: int = 3,
         dim: Optional[int] = None, region: str = "hypercube",
         granule: int = 512, caps: Optional[Sequence[int]] = None,
+        compact_conv: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Build the jittable pyramid dict with all kernel maps ON DEVICE.
 
     Drop-in replacement for pyramid_to_arrays(build_pyramid(...)): the
     host only downsamples coords per level (a cheap sort-unique over <30k
-    rows) and, in high-D, fetches one [K] bool per map to prune empty
-    offsets. The K x M neighbor probing — the 6-D bottleneck (~230M
+    rows) and, in high-D, fetches one [K] count vector per map to prune
+    empty offsets. The K x M neighbor probing — the 6-D bottleneck (~230M
     probes) — runs as sorted-key binary search on the accelerator, and
     the maps are born where the conv consumes them.
+
+    compact_conv (high-D only): emit two-tier compacted schedules
+    (``{name}_cmp`` keys, sparse/compact.py) instead of pruned dense
+    maps — the same per-offset counts fetched for pruning size the
+    compaction, so no extra host sync. Up schedules derive from down
+    schedules by in/out swap (no inversion scatter, no extra probe).
     """
     dim = dim if dim is not None else coords.shape[1]
     offs_fn = (hypercube_offsets if region == "hypercube" else
@@ -718,19 +725,48 @@ def build_pyramid_arrays_device(
         kv1 = len(offs_fn(conv1_kernel_size, dim, 1))
         jobs.append(("conv1", 0, kv1, probe(0, 0, conv1_kernel_size, 1)))
 
-    # Phase 2: one batched fetch of all prune vectors.
-    nonempty = {}
+    # Phase 2: one batched fetch of all prune vectors (per-offset hit
+    # counts — `> 0` is the prune bool; the counts themselves size the
+    # compact schedules, so compaction costs no extra sync).
+    counts = {}
     if prune:
-        nonempty = jax.device_get({
-            name: jnp.any(nbr != cap_l[l_in], axis=1)
+        counts = jax.device_get({
+            name: jnp.sum(nbr != cap_l[l_in], axis=1, dtype=jnp.int32)
             for name, l_in, _, nbr in jobs})
 
+    if compact_conv and prune:
+        from gmf_tpu.sparse.compact import build_compact_schedule
+
+        nbr_by = {name: (l_in, nbr) for name, l_in, _, nbr in jobs}
+        arrays: Dict[str, jnp.ndarray] = {}
+        for l in range(num_levels):
+            arrays[f"mask_{l}"] = mask_l[l]
+            _, nbr = nbr_by[f"self_{l}"]
+            arrays[f"self_cmp_{l}"] = build_compact_schedule(
+                nbr, counts[f"self_{l}"], cap_in=cap_l[l],
+                cap_out=cap_l[l])
+            if l + 1 < num_levels:
+                _, nbr = nbr_by[f"down_{l}"]
+                down, up = build_compact_schedule(
+                    nbr, counts[f"down_{l}"], cap_in=cap_l[l],
+                    cap_out=cap_l[l + 1], with_transpose=True)
+                arrays[f"down_cmp_{l}"] = down
+                arrays[f"up_cmp_{l}"] = up
+        if conv1_kernel_size == 3:
+            arrays["conv1_cmp"] = arrays["self_cmp_0"]
+        else:
+            _, nbr = nbr_by["conv1"]
+            arrays["conv1_cmp"] = build_compact_schedule(
+                nbr, counts["conv1"], cap_in=cap_l[0], cap_out=cap_l[0])
+        return arrays
+
     pruned = {
-        name: _prune_and_pad_device(nbr, cap_l[l_in], kv, prune,
-                                    nonempty=nonempty.get(name))
+        name: _prune_and_pad_device(
+            nbr, cap_l[l_in], kv, prune,
+            nonempty=None if name not in counts else counts[name] > 0)
         for name, l_in, kv, nbr in jobs}
 
-    arrays: Dict[str, jnp.ndarray] = {}
+    arrays = {}
     for l in range(num_levels):
         arrays[f"mask_{l}"] = mask_l[l]
         arrays[f"self_map_{l}"], arrays[f"self_kept_{l}"] = pruned[

@@ -64,12 +64,15 @@ class SparseBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, self_map, kept, train: bool = False):
         residual = x
+        rows = x.shape[0]  # self maps: cap_out == cap_in (compact path)
         out = SparseConv(self.channels, self.kernel_volume, name="conv1",
-                         dtype=self.dtype)(append_sentinel(x), self_map, kept)
+                         dtype=self.dtype)(append_sentinel(x), self_map,
+                                           kept, out_rows=rows)
         out = MaskedBatchNorm(name="norm1", dtype=self.dtype)(out, mask, train)
         out = nn.relu(out)
         out = SparseConv(self.channels, self.kernel_volume, name="conv2",
-                         dtype=self.dtype)(append_sentinel(out), self_map, kept)
+                         dtype=self.dtype)(append_sentinel(out), self_map,
+                                           kept, out_rows=rows)
         out = MaskedBatchNorm(name="norm2", dtype=self.dtype)(out, mask, train)
         return nn.relu(out + residual)
 
@@ -125,40 +128,54 @@ class SparseResUNet2(nn.Module):
                 name="image_fusion", dtype=self.dtype,
             )(p_tok, queries_encoder=q_tok)
 
-        def conv(x, name, cout, nbr, kept, kv, use_bias=False):
+        def kmap(prefix):
+            """(map-or-schedule, kept) for "conv1" / "self_map_l" /
+            "down_map_l" / "up_map_l" — compact schedules (``*_cmp``
+            keys, device_maps compact_conv=True) take priority."""
+            cmp_key = ("conv1_cmp" if prefix == "conv1"
+                       else prefix.replace("_map_", "_cmp_"))
+            if cmp_key in pyramid:
+                return pyramid[cmp_key], None
+            if prefix == "conv1":
+                return pyramid["conv1_map"], pyramid["conv1_kept"]
+            return pyramid[prefix], pyramid[prefix.replace("_map_",
+                                                           "_kept_")]
+
+        def conv(x, name, cout, map_prefix, kv, out_rows, use_bias=False):
+            nbr, kept = kmap(map_prefix)
             return SparseConv(cout, kv, use_bias=use_bias, name=name,
-                              dtype=self.dtype)(append_sentinel(x), nbr, kept)
+                              dtype=self.dtype)(append_sentinel(x), nbr,
+                                                kept, out_rows=out_rows)
 
         def bn(x, name, mask):
             return MaskedBatchNorm(name=name, dtype=self.dtype)(x, mask, train)
 
+        caps = [mm.shape[0] for mm in m]
+        self_maps = [kmap(f"self_map_{l}") for l in range(4)]
+
         # ---- encoder ----
-        out_s1 = conv(feats, "conv1", C[0], pyramid["conv1_map"],
-                      pyramid["conv1_kept"], KV1)
+        out_s1 = conv(feats, "conv1", C[0], "conv1", KV1, caps[0])
         out_s1 = bn(out_s1, "norm1", m[0])
         out_s1 = SparseBasicBlock(C[0], KV, name="block1", dtype=self.dtype)(
-            out_s1, m[0], pyramid["self_map_0"], pyramid["self_kept_0"], train)
+            out_s1, m[0], *self_maps[0], train)
         out = nn.relu(out_s1)
 
-        out_s2 = conv(out, "conv2", C[1], pyramid["down_map_0"],
-                      pyramid["down_kept_0"], KV)
+        out_s2 = conv(out, "conv2", C[1], "down_map_0", KV, caps[1])
         out_s2 = bn(out_s2, "norm2", m[1])
         out_s2 = SparseBasicBlock(C[1], KV, name="block2", dtype=self.dtype)(
-            out_s2, m[1], pyramid["self_map_1"], pyramid["self_kept_1"], train)
+            out_s2, m[1], *self_maps[1], train)
         out = nn.relu(out_s2)
 
-        out_s4 = conv(out, "conv3", C[2], pyramid["down_map_1"],
-                      pyramid["down_kept_1"], KV)
+        out_s4 = conv(out, "conv3", C[2], "down_map_1", KV, caps[2])
         out_s4 = bn(out_s4, "norm3", m[2])
         out_s4 = SparseBasicBlock(C[2], KV, name="block3", dtype=self.dtype)(
-            out_s4, m[2], pyramid["self_map_2"], pyramid["self_kept_2"], train)
+            out_s4, m[2], *self_maps[2], train)
         out = nn.relu(out_s4)
 
-        out_s8 = conv(out, "conv4", C[3], pyramid["down_map_2"],
-                      pyramid["down_kept_2"], KV)
+        out_s8 = conv(out, "conv4", C[3], "down_map_2", KV, caps[3])
         out_s8 = bn(out_s8, "norm4", m[3])
         out_s8 = SparseBasicBlock(C[3], KV, name="block4", dtype=self.dtype)(
-            out_s8, m[3], pyramid["self_map_3"], pyramid["self_kept_3"], train)
+            out_s8, m[3], *self_maps[3], train)
         out = nn.relu(out_s8)
 
         # ---- GMF Fusion-2 at the bottleneck (resunet_new.py:660,694-705):
@@ -173,29 +190,26 @@ class SparseResUNet2(nn.Module):
             out = fused * m[3][:, None]
 
         # ---- decoder ----
-        out = conv(out, "conv4_tr", TR[3], pyramid["up_map_2"],
-                   pyramid["up_kept_2"], KV)
+        out = conv(out, "conv4_tr", TR[3], "up_map_2", KV, caps[2])
         out = bn(out, "norm4_tr", m[2])
         out = SparseBasicBlock(TR[3], KV, name="block4_tr", dtype=self.dtype)(
-            out, m[2], pyramid["self_map_2"], pyramid["self_kept_2"], train)
+            out, m[2], *self_maps[2], train)
         out_s4_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s4_tr, out_s4], axis=-1)  # ME.cat
 
-        out = conv(out, "conv3_tr", TR[2], pyramid["up_map_1"],
-                   pyramid["up_kept_1"], KV)
+        out = conv(out, "conv3_tr", TR[2], "up_map_1", KV, caps[1])
         out = bn(out, "norm3_tr", m[1])
         out = SparseBasicBlock(TR[2], KV, name="block3_tr", dtype=self.dtype)(
-            out, m[1], pyramid["self_map_1"], pyramid["self_kept_1"], train)
+            out, m[1], *self_maps[1], train)
         out_s2_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s2_tr, out_s2], axis=-1)
 
-        out = conv(out, "conv2_tr", TR[1], pyramid["up_map_0"],
-                   pyramid["up_kept_0"], KV)
+        out = conv(out, "conv2_tr", TR[1], "up_map_0", KV, caps[0])
         out = bn(out, "norm2_tr", m[0])
         out = SparseBasicBlock(TR[1], KV, name="block2_tr", dtype=self.dtype)(
-            out, m[0], pyramid["self_map_0"], pyramid["self_kept_0"], train)
+            out, m[0], *self_maps[0], train)
         out_s1_tr = nn.relu(out)
 
         out = jnp.concatenate([out_s1_tr, out_s1], axis=-1)

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 net compute (DGRConfig.net_dtype)")
+    ap.add_argument("--compact", default=None,
+                    choices=["on", "off"],
+                    help="force compact_inlier_conv (default: follow "
+                         "DGRConfig auto = device-maps setting)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,9 @@ def main():
 
     dt = _jnp.bfloat16 if args.bf16 else _jnp.float32
     cfg = DGRConfig(device_kernel_maps=None if not args.cpu else False,
-                    net_dtype="bfloat16" if args.bf16 else "float32")
+                    net_dtype="bfloat16" if args.bf16 else "float32",
+                    compact_inlier_conv=(None if args.compact is None
+                                         else args.compact == "on"))
     fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)
     inlier = GMFInlierNet(dtype=dt)
     H, W = cfg.image_hw
