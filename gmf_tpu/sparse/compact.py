@@ -128,8 +128,34 @@ def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
     cids = ids[kd_pad:kd_pad + kc_pad]
     cmask = jnp.arange(kc_pad, dtype=jnp.int32) < sizes[1]
     rows = jnp.where(cmask[:, None], nbr[cids], cap_in)   # [kc_pad, M]
-    # cums[r, m] = hits of row r in columns [0..m]
-    cums = jnp.cumsum((rows != cap_in).astype(jnp.int32), axis=1)
+    # Two-level rank-select for the q-th hit of a row. A flat binary
+    # search on the [kc_pad, M] row cumsum pays log2(M) element-gather
+    # rounds against a ~92 MB table — TPU gathers from big tables run
+    # ~8-48M elem/s vs ~170M from small ones, and that search WAS the
+    # compaction cost (self_2: 327 ms at 22k voxels). Instead:
+    #   level 1: binary search over per-row 128-column BLOCK cumsums
+    #            ([kc_pad, B] ~ 0.7 MB) — log2(B) small-table rounds;
+    #   level 2: rank-select inside the block from bit-packed hit words
+    #            ([kc_pad, B, 4] u32 ~ 2.8 MB): 4 word gathers + pure
+    #            VPU population_count binary search (no gathers).
+    # One final big-table gather reads the winning in-index.
+    BW, WB = 128, 32                       # block width, word bits
+    Mp = -(-M // BW) * BW
+    hit = rows != cap_in                   # [kc_pad, M]
+    if Mp != M:
+        hit = jnp.concatenate(
+            [hit, jnp.zeros((kc_pad, Mp - M), bool)], axis=1)
+    nwords = Mp // WB
+    bits = hit.reshape(kc_pad, nwords, WB)
+    words = jnp.zeros((kc_pad, nwords), jnp.uint32)
+    for k in range(WB):                    # static pack loop, VPU-only
+        words = words | (bits[:, :, k].astype(jnp.uint32) << k)
+    wpop = jax.lax.population_count(words).astype(jnp.int32)
+    B = Mp // BW
+    blk_cnt = wpop.reshape(kc_pad, B, BW // WB).sum(axis=2)
+    blk_cum = jnp.cumsum(blk_cnt, axis=1)              # [kc_pad, B]
+    words_flat = words.reshape(-1)                     # [kc_pad * nwords]
+
     # tile -> compact-row table via searchsorted on tile_base (monotone,
     # padded rows all point at tile nt_pad so empty tiles resolve to the
     # last real row — their slots find no hit and pack as empty anyway).
@@ -137,23 +163,52 @@ def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
                              side="right").astype(jnp.int32) - 1
     t_row = jnp.clip(t_row, 0, kc_pad - 1)
     tile_kept = cids[t_row]
-    # slot (t, j) wants the q-th hit of its row; find its column by
-    # binary search on the row cumsum — ~log2(M) rounds of ELEMENT
-    # gathers sized by the tile capacity, instead of a K x M element
-    # scatter (TPU scatters ran ~64 ms/map at 22k voxels; this is ~5 ms).
     q = ((jnp.arange(nt_pad, dtype=jnp.int32) - tile_base[t_row])[:, None]
          * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]) + 1
+    r2 = t_row[:, None]                                # [nt_pad, 1]
+    # level 1: smallest block b with blk_cum[r, b] >= q
     lo = jnp.zeros((nt_pad, tile), jnp.int32)
-    hi = jnp.full((nt_pad, tile), M, jnp.int32)
-    r2 = t_row[:, None]
-    for _ in range(max(1, int(np.ceil(np.log2(M + 1))))):
+    hi = jnp.full((nt_pad, tile), B, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(B + 1))))):
         mid = (lo + hi) // 2
-        right = cums[r2, jnp.minimum(mid, M - 1)] < q
+        right = blk_cum[r2, jnp.minimum(mid, B - 1)] < q
         lo = jnp.where(right, mid + 1, lo)
         hi = jnp.where(right, hi, mid)
-    empty = lo >= M
-    col = jnp.minimum(lo, M - 1)
-    in_idx = jnp.where(empty, cap_in, rows[r2, col])
+    empty = lo >= B
+    blk = jnp.minimum(lo, B - 1)
+    c0 = jnp.where(blk > 0, blk_cum[r2, jnp.maximum(blk - 1, 0)], 0)
+    qb = q - c0                                        # rank in block
+    # level 2a: pick the word among the block's 4 via popcount prefix
+    wbase = r2 * nwords + blk * (BW // WB)
+    w0 = words_flat[wbase]
+    w1 = words_flat[wbase + 1]
+    w2 = words_flat[wbase + 2]
+    w3 = words_flat[wbase + 3]
+    p0 = jax.lax.population_count(w0).astype(jnp.int32)
+    p01 = p0 + jax.lax.population_count(w1).astype(jnp.int32)
+    p012 = p01 + jax.lax.population_count(w2).astype(jnp.int32)
+    wsel = ((qb > p0).astype(jnp.int32) + (qb > p01)
+            + (qb > p012))
+    w = jnp.where(wsel == 0, w0,
+                  jnp.where(wsel == 1, w1, jnp.where(wsel == 2, w2, w3)))
+    qw = qb - jnp.where(wsel == 0, 0,
+                        jnp.where(wsel == 1, p0,
+                                  jnp.where(wsel == 2, p01, p012)))
+    # level 2b: qw-th set bit of w — binary search on masked popcount:
+    # smallest y with popcnt(w & ((1<<y)-1)) >= qw; bit position = y-1.
+    bit_lo = jnp.zeros_like(qw)
+    bit_hi = jnp.full_like(qw, WB)
+    ones = jnp.uint32(0xFFFFFFFF)
+    for _ in range(6):
+        mid = (bit_lo + bit_hi) // 2
+        mask = jnp.where(mid >= WB, ones, ~(ones << mid.astype(jnp.uint32)))
+        cnt = jax.lax.population_count(w & mask).astype(jnp.int32)
+        right = cnt < qw
+        bit_lo = jnp.where(right, mid + 1, bit_lo)
+        bit_hi = jnp.where(right, bit_hi, mid)
+    col = blk * BW + wsel * WB + jnp.clip(bit_lo - 1, 0, WB - 1)
+    col = jnp.minimum(col, M - 1)
+    in_idx = jnp.where(empty, cap_in, rows[r2, col])   # one big gather
     out_idx = jnp.where(empty, cap_out, col)
     return dense_rows, dense_kept, up_dense, in_idx, out_idx, tile_kept
 

@@ -528,6 +528,166 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
     return jax.lax.cond(overflow, sorted_path, hash_path, None)
 
 
+def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
+                               in_valid_mask, out_valid_mask, src_rank,
+                               mult_cap: int, cells: int, sentinel: int,
+                               packed: bool):
+    """Separable 6-D probe via a DIRECT-ADDRESS 3-D src-part table.
+
+    The split probe (device_kernel_map_split) resolves src-part
+    candidates through 3 x chains hash tables — 2 gathers per table
+    round, 6*chains gathers per query at the fine levels. Here the src
+    part addresses a dense [cells * mult_cap] table directly (the 3-D
+    src frame is tiny: ~36k cells at 3DMatch level 0), with the
+    multiplicity slot precomputed ON HOST (src_rank — the level coords
+    are host arrays, so the rank-within-src-cell is a cheap np.unique).
+    Each probe is then ONE gather per multiplicity slot:
+
+      packed=True:  table entry = (tgt_key << row_bits) | row — the tgt
+                    verification key rides along, so NO second gather.
+      packed=False: two flat int32 tables (row, tgt_key) — 2 gathers —
+                    for frames whose tgt key exceeds 31 - row_bits bits.
+
+    mult_cap rounds of [27, M] small-table gathers replace the split
+    probe's 3*chains rounds of 2 gathers: at 22k voxels / level 1
+    (mult 8 vs chains 4) that is 4.9M vs 14.6M gathered elements, all
+    against a <=16 MB table (the TPU gather-rate cliff for big tables is
+    the reason the [cells6] joint dense table loses at level <= 1: its
+    2^25-cell table is 134 MB * 3 lane replicas).
+
+    src_rank: [N] int32 — rank of each in-row within its src cell
+    (invalid rows >= mult_cap). Host-exact, so no overflow cond is
+    needed; an in-graph frame guard still falls back to the full sorted
+    join if the device-computed frame exceeds ``cells``.
+
+    Returns nbr [(Ks*Kt), M] int32, identical to device_kernel_map with
+    cartesian(offs_s, offs_t).
+    """
+    with jax.enable_x64():
+        return _device_kernel_map_srcdense(
+            in_coords, out_coords, offs_s, offs_t, in_valid_mask,
+            out_valid_mask, src_rank, mult_cap=mult_cap, cells=cells,
+            sentinel=sentinel, packed=packed)
+
+
+@partial(jax.jit,
+         static_argnames=("mult_cap", "cells", "sentinel", "packed"))
+def _device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
+                                in_valid_mask, out_valid_mask, src_rank,
+                                mult_cap: int, cells: int, sentinel: int,
+                                packed: bool):
+    N = in_coords.shape[0]
+    M = out_coords.shape[0]
+    Ks, Ds = offs_s.shape
+    Kt, Dt = offs_t.shape
+    in_valid = in_valid_mask > 0
+    out_valid = out_valid_mask > 0
+    big = jnp.int32(1 << 20)
+
+    def frame(in_c, out_c, offs):
+        lo = jnp.minimum(
+            jnp.min(jnp.where(in_valid[:, None], in_c, big), axis=0),
+            jnp.min(jnp.where(out_valid[:, None], out_c, big), axis=0)
+            + jnp.min(offs, axis=0),
+        ).astype(jnp.int64)
+        hi = jnp.max(jnp.where(in_valid[:, None], in_c, -big), axis=0)
+        spans = jnp.maximum(hi.astype(jnp.int64) - lo + 1, 1)
+        strides = jnp.concatenate([
+            jnp.cumprod(spans[::-1])[::-1][1:], jnp.ones((1,), jnp.int64)])
+        return lo, spans, strides
+
+    s_in, t_in = in_coords[:, :Ds], in_coords[:, Ds:]
+    s_out, t_out = out_coords[:, :Ds], out_coords[:, Ds:]
+    s_lo, s_spans, s_strides = frame(s_in, s_out, offs_s)
+    t_lo, t_spans, t_strides = frame(t_in, t_out, offs_t)
+
+    s_keys = jnp.sum((s_in.astype(jnp.int64) - s_lo) * s_strides, axis=-1)
+    t_keys = jnp.sum((t_in.astype(jnp.int64) - t_lo) * t_strides, axis=-1)
+    s_out_rel = s_out.astype(jnp.int64) - s_lo
+    t_out_rel = t_out.astype(jnp.int64) - t_lo
+    s_out_key = jnp.sum(s_out_rel * s_strides, axis=-1)
+    t_out_key = jnp.sum(t_out_rel * t_strides, axis=-1)
+    s_off_key = jnp.sum(offs_s.astype(jnp.int64) * s_strides, axis=-1)
+    t_off_key = jnp.sum(offs_t.astype(jnp.int64) * t_strides, axis=-1)
+    qk_s = s_out_key[None, :] + s_off_key[:, None]              # [Ks, M]
+    qk_t = t_out_key[None, :] + t_off_key[:, None]              # [Kt, M]
+
+    s_range = out_valid[None, :]
+    for d in range(Ds):
+        col = s_out_rel[:, d]
+        od = offs_s.astype(jnp.int64)[:, d:d + 1]
+        s_range = s_range & (col[None, :] >= -od) & (
+            col[None, :] < s_spans[d] - od)
+    t_range = jnp.ones((Kt, M), bool)
+    for d in range(Dt):
+        col = t_out_rel[:, d]
+        od = offs_t.astype(jnp.int64)[:, d:d + 1]
+        t_range = t_range & (col[None, :] >= -od) & (
+            col[None, :] < t_spans[d] - od)
+
+    def sorted_path(_):
+        span_t_total = jnp.prod(t_spans)
+        keys6 = jnp.where(in_valid, s_keys * span_t_total + t_keys,
+                          jnp.int64(2 ** 62))
+        q6 = (qk_s * span_t_total)[:, None, :] + qk_t[None, :, :]
+        q6 = q6.reshape(Ks * Kt, M)
+        rng6 = (s_range[:, None, :] & t_range[None, :, :]).reshape(
+            Ks * Kt, M)
+        order = jnp.argsort(keys6)
+        keys_sorted = keys6[order]
+        pos = jnp.searchsorted(keys_sorted, q6.ravel()).reshape(q6.shape)
+        pos = jnp.minimum(pos, N - 1)
+        hit = (keys_sorted[pos] == q6) & rng6
+        return jnp.where(hit, order[pos].astype(jnp.int32), sentinel)
+
+    # host-exact gate re-checked in-graph (padded/degenerate inputs);
+    # padded rows carry rank >= mult_cap by convention and are excluded
+    guard = (jnp.prod(s_spans) > cells) | (
+        jnp.max(jnp.where(in_valid, src_rank, -1)) >= mult_cap)
+
+    IB = max(int(np.ceil(np.log2(max(N, 2)))), 1)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    slot = jnp.where(in_valid & (src_rank < mult_cap),
+                     s_keys.astype(jnp.int32) * mult_cap + src_rank,
+                     jnp.int32(cells) * mult_cap)        # OOB -> dropped
+    qcell = (jnp.clip(qk_s, 0, cells - 1) * mult_cap).astype(jnp.int32)
+    qk_t32 = qk_t.astype(jnp.int32)
+
+    def srcdense_path(_):
+        idx = jnp.full((Ks, Kt, M), sentinel, jnp.int32)
+        found = jnp.zeros((Ks, Kt, M), bool)
+        if packed:
+            entries = ((t_keys.astype(jnp.int32) << IB) | rows)
+            table = jnp.full((cells * mult_cap,), jnp.int32(-1)
+                             ).at[slot].set(entries, mode="drop")
+            for c in range(mult_cap):
+                e = table[qcell + c]                     # [Ks, M] gather
+                ok = s_range & (e >= 0)
+                tk = e >> IB
+                cand = e & ((1 << IB) - 1)
+                m3 = (ok[:, None, :] & t_range[None, :, :]
+                      & (tk[:, None, :] == qk_t32[None, :, :]))
+                idx = jnp.where(m3 & ~found, cand[:, None, :], idx)
+                found = found | m3
+        else:
+            row_t = jnp.full((cells * mult_cap,), jnp.int32(-1)
+                             ).at[slot].set(rows, mode="drop")
+            tk_t = jnp.full((cells * mult_cap,), jnp.int32(-1)
+                            ).at[slot].set(t_keys.astype(jnp.int32),
+                                           mode="drop")
+            for c in range(mult_cap):
+                cand = row_t[qcell + c]                  # [Ks, M] gather
+                tk = tk_t[qcell + c]                     # [Ks, M] gather
+                ok = s_range & (cand >= 0)
+                m3 = (ok[:, None, :] & t_range[None, :, :]
+                      & (tk[:, None, :] == qk_t32[None, :, :]))
+                idx = jnp.where(m3 & ~found, cand[:, None, :], idx)
+                found = found | m3
+        return idx.reshape(Ks * Kt, M)
+
+    return jax.lax.cond(guard, sorted_path, srcdense_path, None)
+
+
 # ---------------------------------------------------------------------------
 # Full pyramid on device (drop-in for pyramid_to_arrays(build_pyramid(...)))
 # ---------------------------------------------------------------------------
@@ -623,13 +783,23 @@ def build_pyramid_arrays_device(
     # 1.18 s -> ~0.3 s at 22k voxels).
     SPLIT_RANK_CAP = 6          # rows per src key kept src-side
     split_plan = []             # (chains, chains_t, src_pass or None)
+    src_info = []               # (max src multiplicity, rank-in-cell [n])
     for l, c in enumerate(level_coords):
         if not (dim == 6 and region == "hypercube" and len(c)):
             split_plan.append((0, 0, None))
+            src_info.append(None)
             continue
         _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
                                    return_counts=True)
         gid = gid.reshape(-1)
+        order0 = np.argsort(gid, kind="stable")
+        sg0 = gid[order0]
+        starts0 = np.r_[0, np.nonzero(np.diff(sg0))[0] + 1]
+        seg0 = np.diff(np.r_[starts0, len(c)])
+        rank0 = np.empty(len(c), np.int32)
+        rank0[order0] = (np.arange(len(c)) -
+                         np.repeat(starts0, seg0)).astype(np.int32)
+        src_info.append((int(counts.max()), rank0))
         chains = -(-int(counts.max()) // 3)
         # +1 chain of slack when duplicates exist: ceil(mult/3) is
         # exactly tight, so a single slot-race loss to an unrelated
@@ -672,10 +842,63 @@ def build_pyramid_arrays_device(
     # per query the ch=4 chained hash pays.
     DENSE_CELL_BUDGET = 1 << 25
 
+    # src-dense probe gates: table entries (3-D src cells x multiplicity
+    # slots) stay <= 16 MB — past that the TPU gather-rate cliff for big
+    # tables erases the fewer-gathers win — and the per-slot loop stays
+    # short. mult_cap buckets to a small menu so the jitted probe
+    # compiles once per bucket, not once per pair.
+    SRCDENSE_ENTRY_BUDGET = 1 << 22
+    SRCDENSE_MULT_MENU = (1, 2, 4, 6, 8, 12)
+
+    def _bound3(in_3, out_3, slack):
+        lo = np.minimum(in_3.min(0), out_3.min(0) - slack)
+        spans = np.maximum(in_3.max(0).astype(np.int64) - lo + 1, 1)
+        prod = 1
+        for s in spans:
+            prod *= int(s)
+            if prod > 2 ** 40:
+                return 0
+        return prod
+
+    def _srcdense_probe(l_in, l_out, t_stride):
+        """3-D src-part direct-address probe (device_kernel_map_srcdense)
+        when the in-level's src multiplicity and 3-D frame allow; None
+        otherwise."""
+        if src_info[l_in] is None:
+            return None
+        mult, rank = src_info[l_in]
+        if mult > SRCDENSE_MULT_MENU[-1]:
+            return None
+        mult_cap = next(m for m in SRCDENSE_MULT_MENU if m >= mult)
+        in_c, out_c = level_coords[l_in], level_coords[l_out]
+        slack = t_stride
+        cells = _bound3(in_c[:, :3], out_c[:, :3], slack)
+        if not cells or cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
+            return None
+        cells = 1 << max(int(np.ceil(np.log2(cells))), 4)
+        if cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
+            return None
+        tcells = _bound3(in_c[:, 3:], out_c[:, 3:], slack)
+        if not tcells or tcells >= 2 ** 31:
+            return None
+        IB = max(int(np.ceil(np.log2(max(cap_l[l_in], 2)))), 1)
+        packed = tcells < (1 << (31 - IB))
+        rank_pad = np.zeros(cap_l[l_in], np.int32)
+        rank_pad[: len(rank)] = rank
+        k3s = jnp.asarray(hypercube_offsets(3, 3, t_stride))
+        return device_kernel_map_srcdense(
+            cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
+            mask_l[l_out], jnp.asarray(rank_pad), mult_cap=mult_cap,
+            cells=cells, sentinel=cap_l[l_in], packed=packed)
+
     def probe(l_in, l_out, kernel_size, t_stride):
         chains, chains_t, src_pass = split_plan[l_in]
         in_c, out_c = level_coords[l_in], level_coords[l_out]
         slack = t_stride * (kernel_size // 2)
+        if kernel_size == 3 and dim == 6 and region == "hypercube":
+            sd = _srcdense_probe(l_in, l_out, t_stride)
+            if sd is not None:
+                return sd
         cells = _dense_cells_bound(in_c, out_c, slack, lattice=t_stride)
         if 0 < cells <= DENSE_CELL_BUDGET:
             k = offs_fn(kernel_size, dim, t_stride)
