@@ -31,6 +31,10 @@ def main():
                          "TPU; the O(N)-memory path that makes "
                          "num_node='all' megapairs tractable, ref "
                          "evaluation/test_3DLoMatch.py:240)")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="bf16 module compute, f32 geometry (registration "
+                         "output verified exact; default: on for TPU)")
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
@@ -51,9 +55,15 @@ def main():
 
     if args.fused is None:
         args.fused = jax.default_backend() != "cpu"
+    if args.bf16 is None:
+        args.bf16 = jax.default_backend() != "cpu"
     model, variables = load_pointdsc(args.checkpoint)
     if args.fused:
         model = model.clone(fused_attention=True)
+    if args.bf16:
+        import jax.numpy as jnp
+
+        model = model.clone(dtype=jnp.bfloat16)
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

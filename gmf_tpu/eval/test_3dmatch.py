@@ -35,6 +35,10 @@ def main():
                     default=None,
                     help="Pallas flash-attention + NMS path (default: on "
                          "for TPU, off for CPU)")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="bf16 module compute, f32 geometry (registration "
+                         "output verified exact; default: on for TPU)")
     ap.add_argument("--re-thre", type=float, default=15.0)
     ap.add_argument("--te-thre", type=float, default=30.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.10)
@@ -65,10 +69,16 @@ def main():
 
     if args.fused is None:
         args.fused = jax.default_backend() != "cpu"
+    if args.bf16 is None:
+        args.bf16 = jax.default_backend() != "cpu"
     model, variables = load_pointdsc(args.checkpoint,
                                      inlier_threshold=args.inlier_threshold)
     if args.fused:
         model = model.clone(fused_attention=True)
+    if args.bf16:
+        import jax.numpy as jnp
+
+        model = model.clone(dtype=jnp.bfloat16)
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

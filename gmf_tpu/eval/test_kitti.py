@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--te-thre", type=float, default=60.0)
     ap.add_argument("--inlier-threshold", type=float, default=0.60)
     ap.add_argument("--out", default="eval_kitti")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="bf16 module compute, f32 geometry (registration "
+                         "output verified exact; default: on for TPU)")
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
@@ -54,11 +58,16 @@ def main():
 
     if args.fused is None:
         args.fused = jax.default_backend() != "cpu"
+    if args.bf16 is None:
+        args.bf16 = jax.default_backend() != "cpu"
     # KITTI model settings (evaluation/test_KITTI.py:210-219):
     # inlier/sigma 1.2, nms_radius = inlier_threshold.
     model, variables = load_pointdsc(args.checkpoint, inlier_threshold=1.2)
+    import jax.numpy as jnp
+
     model = model.clone(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
-                          fused_attention=args.fused)
+                        fused_attention=args.fused,
+                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

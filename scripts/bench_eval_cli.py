@@ -1,0 +1,192 @@
+"""Measured throughput of the REAL 3DMatch eval CLI (VERDICT r2 item 1b).
+
+Builds a synthetic full-scale 3DMatch fixture tree (one scene, ``--pairs``
+pairs, ``--points`` points per fragment, controlled inlier ratio via
+mutual-consistent descriptors), then drives the actual
+``gmf_tpu.eval.test_3dmatch`` CLI — the same loop a user runs
+(reference loop: GMF_PointDSC/evaluation/test_3DMatch.py:24-119, strictly
+one pair per forward) — with ``--batch B [--mesh N]`` and reports:
+
+- wall pairs/s over the whole scene (host data prep + model, end to end)
+- model pairs/s from the stats rows' amortized model_time column
+- host data s/pair (descriptor load + mutual 1-NN matching; on this
+  single-core bench box the 5000x5000 host matching dominates wall time —
+  the reference pays the identical matching cost in its loader)
+
+Usage:
+  python scripts/bench_eval_cli.py                  # TPU, batch 64
+  python scripts/bench_eval_cli.py --batch 1        # serial baseline
+  python scripts/bench_eval_cli.py --cpu --tiny     # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SCENE = "7-scenes-redkitchen"
+
+
+def build_fixture(root: str, pairs: int, points: int, feat_dim: int,
+                  inlier_ratio: float, image_hw, seed: int = 0) -> None:
+    """One scene, ``pairs`` disjoint (2k, 2k+1) fragment pairs.
+
+    Fragment 2k+1 is fragment 2k under a random rigid transform; every
+    point keeps a mutual-unique descriptor (so use_mutual 1-NN recovers
+    exactly ``points`` correspondences), and a (1-inlier_ratio) subset of
+    the target positions is scrambled so those matches land outside the
+    inlier threshold — the label mix of a real descriptor at test time.
+    """
+    rng = np.random.RandomState(seed)
+    seq = os.path.join(root, SCENE, "seq-01")
+    os.makedirs(seq, exist_ok=True)
+
+    try:
+        import matplotlib.image as mpimg
+
+        def save_img(path, arr):
+            mpimg.imsave(path, arr)
+    except ImportError:  # pragma: no cover
+        raise RuntimeError("matplotlib required for fixture images")
+
+    gt_lines = []
+    for k in range(pairs):
+        sid, tid = 2 * k, 2 * k + 1
+        xyz0 = rng.rand(points, 3).astype(np.float32) * 3.0
+        ang = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+        xyz1 = (xyz0 @ R.T + t).astype(np.float32)
+        # scramble (1 - inlier_ratio) of the target positions -> outliers
+        n_out = int(points * (1.0 - inlier_ratio))
+        out_idx = rng.choice(points, n_out, replace=False)
+        xyz1[out_idx] = rng.rand(n_out, 3).astype(np.float32) * 3.0 @ R.T + t
+        # mutual-unique descriptors: identical rows across the two clouds
+        feat = rng.randn(points, feat_dim).astype(np.float32)
+        feat /= np.linalg.norm(feat, axis=1, keepdims=True) + 1e-12
+        np.savez(os.path.join(seq, f"cloud_bin_{sid}_fcgf.npz"),
+                 xyz=xyz0, feature=feat)
+        np.savez(os.path.join(seq, f"cloud_bin_{tid}_fcgf.npz"),
+                 xyz=xyz1, feature=feat)
+        for fid in (sid, tid):
+            save_img(os.path.join(seq, f"cloud_bin_{fid}_0.png"),
+                     (rng.rand(*image_hw, 3) * 255).astype(np.uint8))
+        # gt.log stores target->source (ThreeDMatch.py:363)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3], T[:3, 3] = R, t
+        T_ts = np.linalg.inv(T)
+        gt_lines.append(f"{sid} {tid} {2 * pairs}")
+        for row in T_ts:
+            gt_lines.append(" ".join(f"{v:.10f}" for v in row))
+    with open(os.path.join(root, SCENE, "gt.log"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+
+
+def make_checkpoint(path: str, tiny: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gmf_tpu.models import PointDSC
+    from gmf_tpu.utils.checkpoint import save_checkpoint
+
+    if tiny:
+        kw = dict(num_layers=1, num_channels=16, k=10)
+    else:
+        kw = dict(num_layers=12, num_channels=128)
+    model = PointDSC(**kw)
+    n = 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, n, 6)), jnp.zeros((1, n, 3)),
+        jnp.zeros((1, n, 3)), jnp.zeros((1, 120, 160, 3)),
+        jnp.zeros((1, 120, 160, 3)))
+    save_checkpoint(path, {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }, config={"model": kw})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=64)
+    ap.add_argument("--points", type=int, default=5000)
+    ap.add_argument("--feat-dim", type=int, default=32)
+    ap.add_argument("--inlier-ratio", type=float, default=0.4)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--mesh", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--keep-fixture", default=None,
+                    help="reuse/build the fixture at this path instead of "
+                         "a fresh tempdir (skips rebuild when present)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.tiny:
+        args.pairs = min(args.pairs, 3)
+        args.points = min(args.points, 200)
+        args.batch = min(args.batch, 3)
+
+    root = args.keep_fixture or tempfile.mkdtemp(prefix="eval_cli_fix_")
+    fresh = not os.path.exists(os.path.join(root, SCENE, "gt.log"))
+    if fresh:
+        t0 = time.perf_counter()
+        build_fixture(root, args.pairs, args.points, args.feat_dim,
+                      args.inlier_ratio, image_hw=(120, 160))
+        print(f"fixture built in {time.perf_counter() - t0:.1f} s -> {root}")
+    ckpt = os.path.join(root, "ckpt_tiny" if args.tiny else "ckpt")
+    if not os.path.isdir(ckpt):
+        make_checkpoint(ckpt, args.tiny)
+
+    from gmf_tpu.eval import test_3dmatch
+
+    out_dir = os.path.join(root, "eval_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    argv = ["test_3dmatch", "--root", root, "--checkpoint", ckpt,
+            "--num-node", "all", "--scenes", SCENE, "--out", out_dir,
+            "--batch", str(args.batch)]
+    if args.mesh:
+        argv += ["--mesh", str(args.mesh)]
+    sys.argv = argv
+    t0 = time.perf_counter()
+    test_3dmatch.main()
+    wall = time.perf_counter() - t0
+
+    stats = np.load(os.path.join(out_dir, "all_stats.npy"))
+    model_s = float(stats[:, 9].mean())
+    data_s = float(stats[:, 10].mean())
+    n = stats.shape[0]
+    print(f"pairs={n} batch={args.batch} mesh={args.mesh or 1} "
+          f"backend={jax.default_backend()}")
+    print(f"wall: {wall:.2f} s = {n / wall:.1f} pairs/s end-to-end")
+    print(f"model_time (amortized/pair): {model_s * 1e3:.1f} ms = "
+          f"{1.0 / model_s:.1f} pairs/s")
+    print(f"host data_time/pair: {data_s * 1e3:.1f} ms "
+          f"(descriptor IO + mutual 1-NN matching)")
+    print(json.dumps({
+        "metric": "eval_cli_3dmatch_pairs_per_sec_model",
+        "value": round(1.0 / model_s, 2), "unit": "pairs/s",
+        "wall_pairs_per_sec": round(n / wall, 2),
+        "recall": float(stats[:, 0].mean()),
+    }))
+    if not args.keep_fixture:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
