@@ -162,7 +162,7 @@ class ThreeDMatchTest:
     def __init__(self, root: str, descriptor: str = "fcgf", in_dim: int = 6,
                  inlier_threshold: float = 0.10, num_node="all",
                  use_mutual: bool = True, select_scene: Optional[str] = None,
-                 image_hw=(120, 160)):
+                 image_hw=(120, 160), device_match: bool = False):
         assert descriptor in ("fcgf", "fpfh")
         self.__dict__.update(locals())
         self.scene_list = ([select_scene] if select_scene in SCENE_LIST
@@ -200,16 +200,27 @@ class ThreeDMatchTest:
             src_keypts, src_feat = src_keypts[src_sel], src_feat[src_sel]
             tgt_keypts, tgt_feat = tgt_keypts[tgt_sel], tgt_feat[tgt_sel]
 
-        sample = build_correspondences(
-            src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),
-            src_feat, tgt_feat, gt_trans, self.inlier_threshold,
-            self.use_mutual, self.in_dim)
-        if sample is None:
-            # test pairs are never skipped — fall back to non-mutual
+        if self.device_match:
+            # raw descriptors: matching/labels/corr_pos run ON DEVICE
+            # inside the registrar dispatch (PointDSCRegistrar raw path)
+            sample = {
+                "src_keypts": src_keypts.astype(np.float32),
+                "tgt_keypts": tgt_keypts.astype(np.float32),
+                "src_desc": src_feat.astype(np.float32),
+                "tgt_desc": tgt_feat.astype(np.float32),
+            }
+        else:
             sample = build_correspondences(
                 src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),
                 src_feat, tgt_feat, gt_trans, self.inlier_threshold,
-                False, self.in_dim)
+                self.use_mutual, self.in_dim)
+            if sample is None:
+                # test pairs are never skipped — fall back to non-mutual
+                sample = build_correspondences(
+                    src_keypts.astype(np.float32),
+                    tgt_keypts.astype(np.float32),
+                    src_feat, tgt_feat, gt_trans, self.inlier_threshold,
+                    False, self.in_dim)
         sample["gt_trans"] = gt_trans
         sample["p_image"] = p_image
         sample["q_image"] = q_image

@@ -38,7 +38,8 @@ class PointDSCRegistrar:
     """
 
     def __init__(self, model, variables, buckets: Sequence[int] = BUCKETS,
-                 mesh=None):
+                 mesh=None, match_inlier_threshold: float = 0.10,
+                 match_mutual: bool = True, match_in_dim: int = 6):
         self.model = model
         self.variables = variables
         self.buckets = buckets
@@ -50,6 +51,28 @@ class PointDSCRegistrar:
             return out["final_trans"], out["final_labels"]
 
         self._register = jax.jit(_register)
+
+        # raw-descriptor path: mutual 1-NN matching + labels + corr_pos
+        # encoding run ON DEVICE inside the same dispatch (the reference
+        # loaders pay this on the host per pair, ThreeDMatch.py:163-217)
+        from gmf_tpu.data.correspondence import match_descriptors_device
+
+        def _register_raw(variables, src_k, tgt_k, src_d, tgt_d, gt,
+                          p_img, q_img, mask_s, mask_t):
+            m = jax.vmap(
+                lambda a, b, c, d, g, ms, mt: match_descriptors_device(
+                    a, b, c, d, g, match_inlier_threshold, ms, mt,
+                    use_mutual=match_mutual, in_dim=match_in_dim)
+            )(src_k, tgt_k, src_d, tgt_d, gt, mask_s, mask_t)
+            out = model.apply(variables, m["corr_pos"], m["src_keypts"],
+                              m["tgt_keypts"], p_img, q_img, testing=True,
+                              corr_mask=m["corr_mask"])
+            return (out["final_trans"], out["final_labels"], m["labels"],
+                    m["corr_mask"], m["src_keypts"], m["tgt_keypts"])
+
+        self._register_raw_impl = _register_raw
+        self._register_raw = jax.jit(_register_raw)
+        self._register_raw_sharded = None  # built on first sharded raw call
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -84,6 +107,9 @@ class PointDSCRegistrar:
             buckets)
 
     def __call__(self, sample: Dict[str, np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+        if "corr_pos" not in sample:
+            (trans, labels), = self.register_batch([sample])
+            return trans, labels
         n = sample["corr_pos"].shape[0]
         padded = self._pad_one(sample)
         trans, labels = self._register(
@@ -100,13 +126,24 @@ class PointDSCRegistrar:
 
     # -- batched / data-parallel ---------------------------------------------
 
-    def eval_bucket(self, samples: Sequence[Dict[str, np.ndarray]]) -> int:
-        """The shared bucket a group of samples would batch into."""
-        n_max = max(s["corr_pos"].shape[0] for s in samples)
+    def _bucket_for(self, n: int) -> int:
         buckets = list(self.buckets)
-        if n_max > max(buckets):
-            buckets.append(-(-n_max // 4096) * 4096)
-        return next_bucket(n_max, buckets)
+        if n > max(buckets):
+            buckets.append(-(-n // 4096) * 4096)
+        return next_bucket(n, buckets)
+
+    def eval_bucket(self, samples: Sequence[Dict[str, np.ndarray]]):
+        """The shared bucket a group of samples would batch into.
+
+        Raw-descriptor samples (no precomputed 'corr_pos') bucket on
+        both cloud sizes — one compile per (src, tgt) bucket pair."""
+        if "corr_pos" in samples[0]:
+            return self._bucket_for(
+                max(s["corr_pos"].shape[0] for s in samples))
+        return (self._bucket_for(
+                    max(s["src_keypts"].shape[0] for s in samples)),
+                self._bucket_for(
+                    max(s["tgt_keypts"].shape[0] for s in samples)))
 
     def register_batch(self, samples: Sequence[Dict[str, np.ndarray]]
                        ) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -121,6 +158,8 @@ class PointDSCRegistrar:
         """
         if not samples:
             return []
+        if "corr_pos" not in samples[0]:
+            return self._register_batch_raw(samples)
         bucket = self.eval_bucket(samples)
         padded = [self._pad_one(s, bucket=bucket) for s in samples]
         b_real = len(samples)
@@ -148,3 +187,71 @@ class PointDSCRegistrar:
             n = min(s["corr_pos"].shape[0], bucket)
             out.append((np.asarray(trans[i]), np.asarray(labels[i])[:n]))
         return out
+
+    def _register_batch_raw(self, samples: Sequence[Dict[str, np.ndarray]]
+                            ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Batched registration from RAW per-cloud descriptors: mutual
+        1-NN matching, GT labels, and corr_pos encoding all happen inside
+        the (optionally mesh-sharded) device dispatch.
+
+        Writes the compacted matched rows back into each sample dict
+        (src_keypts/tgt_keypts/labels), so downstream solver post-steps
+        and stats see exactly what the host-matching path would produce.
+        """
+        bs, bt = self.eval_bucket(samples)
+        b_real = len(samples)
+        b = -(-b_real // self._n_data) * self._n_data
+        idx = list(range(b_real)) + [0] * (b - b_real)
+
+        def pad_rows(x, bucket):
+            x = np.asarray(x, np.float32)
+            out = np.zeros((bucket,) + x.shape[1:], np.float32)
+            out[: len(x)] = x
+            return out
+
+        def stack_side(key, bucket):
+            return jnp.asarray(np.stack(
+                [pad_rows(samples[i][key], bucket) for i in idx]))
+
+        mask_s = np.zeros((b, bs), np.float32)
+        mask_t = np.zeros((b, bt), np.float32)
+        for row, i in enumerate(idx):
+            mask_s[row, : samples[i]["src_keypts"].shape[0]] = 1.0
+            mask_t[row, : samples[i]["tgt_keypts"].shape[0]] = 1.0
+        args = (
+            stack_side("src_keypts", bs), stack_side("tgt_keypts", bt),
+            stack_side("src_desc", bs), stack_side("tgt_desc", bt),
+            jnp.asarray(np.stack(
+                [np.asarray(samples[i]["gt_trans"], np.float32)
+                 for i in idx])),
+            jnp.asarray(np.stack([samples[i]["p_image"] for i in idx])),
+            jnp.asarray(np.stack([samples[i]["q_image"] for i in idx])),
+            jnp.asarray(mask_s), jnp.asarray(mask_t),
+        )
+        if self.mesh is not None:
+            res = self._get_raw_sharded()(self._variables_repl, *args)
+        else:
+            res = self._register_raw(self.variables, *args)
+        trans, pred, gt_labels, cmask, src_sel, tgt_sel = jax.device_get(res)
+        out = []
+        for row, s in enumerate(samples):
+            valid = np.asarray(cmask[row]) > 0
+            s["src_keypts"] = np.asarray(src_sel[row])[valid]
+            s["tgt_keypts"] = np.asarray(tgt_sel[row])[valid]
+            s["labels"] = np.asarray(gt_labels[row])[valid]
+            s.pop("corr_mask", None)
+            out.append((np.asarray(trans[row]),
+                        np.asarray(pred[row])[valid]))
+        return out
+
+    def _get_raw_sharded(self):
+        if self._register_raw_sharded is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            bat = NamedSharding(self.mesh, P("data"))
+            self._register_raw_sharded = jax.jit(
+                self._register_raw_impl,
+                in_shardings=(repl,) + (bat,) * 9,
+                out_shardings=(bat,) * 6)
+        return self._register_raw_sharded

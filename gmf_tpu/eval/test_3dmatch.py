@@ -52,6 +52,11 @@ def main():
                     help="shard each batch over an N-device 'data' mesh "
                          "(data-parallel inference; N must divide into "
                          "the available devices)")
+    ap.add_argument("--device-match", action="store_true",
+                    help="build putative correspondences ON DEVICE inside "
+                         "the registration dispatch (mutual 1-NN + labels "
+                         "+ corr_pos encoding) instead of on the host — "
+                         "removes the per-pair host matching cost")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -84,7 +89,10 @@ def main():
         from gmf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh)
-    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
+    registrar = PointDSCRegistrar(
+        model, variables, mesh=mesh,
+        match_inlier_threshold=args.inlier_threshold,
+        match_mutual=args.use_mutual)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,
                                    inlier_threshold=args.inlier_threshold)
@@ -96,7 +104,8 @@ def main():
         ds = ThreeDMatchTest(root=args.root, descriptor=args.descriptor,
                              inlier_threshold=args.inlier_threshold,
                              num_node=num_node, use_mutual=args.use_mutual,
-                             select_scene=scene)
+                             select_scene=scene,
+                             device_match=args.device_match)
         stats = evaluate_pairs(register_fn,
                                (ds[i] for i in range(len(ds))),
                                re_thresh=args.re_thre,

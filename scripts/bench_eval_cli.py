@@ -123,6 +123,9 @@ def main():
     ap.add_argument("--inlier-ratio", type=float, default=0.4)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--mesh", type=int, default=0)
+    ap.add_argument("--device-match", action="store_true",
+                    help="on-device correspondence building (removes the "
+                         "host mutual-1-NN bottleneck)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--keep-fixture", default=None,
@@ -162,6 +165,8 @@ def main():
             "--batch", str(args.batch)]
     if args.mesh:
         argv += ["--mesh", str(args.mesh)]
+    if args.device_match:
+        argv += ["--device-match"]
     sys.argv = argv
     t0 = time.perf_counter()
     test_3dmatch.main()
