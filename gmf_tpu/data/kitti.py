@@ -29,7 +29,7 @@ class KITTIDataset:
                  use_mutual: bool = True, augment_axis: int = 0,
                  augment_rotation: float = 1.0,
                  augment_translation: float = 0.01,
-                 image_hw=(120, 160)):
+                 image_hw=(120, 160), device_match: bool = False):
         assert descriptor in ("fcgf", "fpfh")
         self.__dict__.update(locals())
         d = os.path.join(root, f"{descriptor}_{split}")
@@ -82,11 +82,20 @@ class KITTIDataset:
                                    replace=False)
             tgt_keypts, tgt_feat = tgt_keypts[sel], tgt_feat[sel]
 
-        sample = build_correspondences(
-            src_keypts, tgt_keypts, src_feat, tgt_feat, gt_trans,
-            self.inlier_threshold, self.use_mutual, self.in_dim)
-        if sample is None:
-            return self[int(np.random.choice(len(self)))]
+        if self.device_match:
+            # raw descriptors: matching runs on device in the registrar
+            sample = {
+                "src_keypts": src_keypts.astype(np.float32),
+                "tgt_keypts": tgt_keypts.astype(np.float32),
+                "src_desc": src_feat.astype(np.float32),
+                "tgt_desc": tgt_feat.astype(np.float32),
+            }
+        else:
+            sample = build_correspondences(
+                src_keypts, tgt_keypts, src_feat, tgt_feat, gt_trans,
+                self.inlier_threshold, self.use_mutual, self.in_dim)
+            if sample is None:
+                return self[int(np.random.choice(len(self)))]
         sample["gt_trans"] = gt_trans
         sample["p_image"] = p_image
         sample["q_image"] = q_image

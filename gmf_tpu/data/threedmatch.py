@@ -241,6 +241,7 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
         self.num_node = num_node
         self.use_mutual = kw.get("use_mutual", True)
         self.image_hw = kw.get("image_hw", (120, 160))
+        self.device_match = kw.get("device_match", False)
         with open(pair_file, "rb") as f:
             self.infos = pickle.load(f)
         # infos: dict with 'src', 'tgt', 'rot', 'trans' arrays (PREDATOR fmt)
@@ -287,10 +288,18 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
             sel = np.random.choice(len(tgt_keypts), self.num_node)
             tgt_keypts, tgt_feat = tgt_keypts[sel], tgt_feat[sel]
 
-        sample = build_correspondences(
-            src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),
-            src_feat, tgt_feat, gt_trans, self.inlier_threshold,
-            self.use_mutual, self.in_dim)
+        if getattr(self, "device_match", False):
+            sample = {
+                "src_keypts": src_keypts.astype(np.float32),
+                "tgt_keypts": tgt_keypts.astype(np.float32),
+                "src_desc": src_feat.astype(np.float32),
+                "tgt_desc": tgt_feat.astype(np.float32),
+            }
+        else:
+            sample = build_correspondences(
+                src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),
+                src_feat, tgt_feat, gt_trans, self.inlier_threshold,
+                self.use_mutual, self.in_dim)
         sample["gt_trans"] = gt_trans
         sample["p_image"] = p_image
         sample["q_image"] = q_image

@@ -39,6 +39,9 @@ def main():
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard batches over an N-device 'data' mesh")
+    ap.add_argument("--device-match", action="store_true",
+                    help="build correspondences on device inside the "
+                         "registration dispatch")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -75,7 +78,8 @@ def main():
     register_fn = make_register_fn(registrar)
     num_node = args.num_node if args.num_node == "all" else int(args.num_node)
     ds = ThreeDLoMatchTest(root=args.root, pair_file=args.pair_file,
-                           num_node=num_node, descriptor=args.descriptor)
+                           num_node=num_node, descriptor=args.descriptor,
+                           device_match=args.device_match)
     stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
                            re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
                            batch_size=args.batch)

@@ -41,6 +41,9 @@ def main():
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard batches over an N-device 'data' mesh")
+    ap.add_argument("--device-match", action="store_true",
+                    help="build correspondences on device inside the "
+                         "registration dispatch")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -73,7 +76,10 @@ def main():
         from gmf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh)
-    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
+    registrar = PointDSCRegistrar(
+        model, variables, mesh=mesh,
+        match_inlier_threshold=args.inlier_threshold,
+        match_mutual=args.use_mutual)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,
                                    inlier_threshold=1.2)
@@ -81,7 +87,8 @@ def main():
     ds = KITTIDataset(root=args.root, split=args.split,
                       descriptor=args.descriptor, num_node=args.num_node,
                       use_mutual=args.use_mutual,
-                      inlier_threshold=args.inlier_threshold)
+                      inlier_threshold=args.inlier_threshold,
+                      device_match=args.device_match)
     stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
                            re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
                            batch_size=args.batch)

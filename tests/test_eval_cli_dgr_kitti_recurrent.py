@@ -170,6 +170,22 @@ def test_kitti_cli_batched(kitti_fixture_tree, monkeypatch):
     assert stats[0, 0] == 1.0, stats[0]
 
 
+def test_kitti_cli_device_match(kitti_fixture_tree, monkeypatch):
+    root, ckpt = kitti_fixture_tree
+    from gmf_tpu.eval import test_kitti
+
+    out_dir = os.path.join(root, "kitti_out_dm")
+    monkeypatch.setattr(sys, "argv", [
+        "test_kitti", "--root", root, "--checkpoint", ckpt,
+        "--num-node", "1000", "--out", out_dir, "--no-fused",
+        "--batch", "2", "--device-match",
+    ])
+    test_kitti.main()
+    stats = np.load(os.path.join(out_dir, "all_stats.npy"))
+    assert stats.shape == (1, 12)
+    assert stats[0, 0] == 1.0, stats[0]
+
+
 # ---------------------------------------------------------------------------
 # eval/test_recurrent.py — checkpoint sweep
 # ---------------------------------------------------------------------------

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 
-def test_lomatch_cli(tmp_path, rng, monkeypatch):
+@pytest.mark.parametrize("device_match", [False, True])
+def test_lomatch_cli(tmp_path, rng, monkeypatch, device_match):
     import jax
     import jax.numpy as jnp
     import matplotlib.image as mpimg
@@ -57,10 +58,11 @@ def test_lomatch_cli(tmp_path, rng, monkeypatch):
     from gmf_tpu.eval import test_3dlomatch
 
     out = str(tmp_path / "out")
-    monkeypatch.setattr(sys, "argv", [
-        "lomatch", "--root", str(tmp_path), "--pair-file", pair_file,
-        "--checkpoint", ckpt, "--num-node", "all"])
-    monkeypatch.setattr(sys, "argv", sys.argv + ["--out", out])
+    argv = ["lomatch", "--root", str(tmp_path), "--pair-file", pair_file,
+            "--checkpoint", ckpt, "--num-node", "all", "--out", out]
+    if device_match:
+        argv += ["--device-match", "--batch", "1"]
+    monkeypatch.setattr(sys, "argv", argv)
     test_3dlomatch.main()
     stats = np.load(os.path.join(out, "all_stats.npy"))
     assert stats.shape == (1, 12)
