@@ -39,6 +39,10 @@ def main():
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard batches over an N-device 'data' mesh")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="prefetch pairs with N threads (overlaps host "
+                         "data prep with device dispatch; the reference "
+                         "uses a 16-worker DataLoader)")
     ap.add_argument("--device-match", action="store_true",
                     help="build correspondences on device inside the "
                          "registration dispatch")
@@ -80,9 +84,9 @@ def main():
     ds = ThreeDLoMatchTest(root=args.root, pair_file=args.pair_file,
                            num_node=num_node, descriptor=args.descriptor,
                            device_match=args.device_match)
-    stats = evaluate_pairs(register_fn, (ds[i] for i in range(len(ds))),
+    stats = evaluate_pairs(register_fn, ds,
                            re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
-                           batch_size=args.batch)
+                           batch_size=args.batch, workers=args.workers)
     agg = aggregate_scenes({"3dlomatch": stats})
     log.info(format_report(agg))
     os.makedirs(args.out, exist_ok=True)

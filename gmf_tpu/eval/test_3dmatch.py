@@ -52,6 +52,10 @@ def main():
                     help="shard each batch over an N-device 'data' mesh "
                          "(data-parallel inference; N must divide into "
                          "the available devices)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="prefetch pairs with N threads (overlaps host "
+                         "data prep with device dispatch; the reference "
+                         "uses a 16-worker DataLoader)")
     ap.add_argument("--device-match", action="store_true",
                     help="build putative correspondences ON DEVICE inside "
                          "the registration dispatch (mutual 1-NN + labels "
@@ -106,11 +110,10 @@ def main():
                              num_node=num_node, use_mutual=args.use_mutual,
                              select_scene=scene,
                              device_match=args.device_match)
-        stats = evaluate_pairs(register_fn,
-                               (ds[i] for i in range(len(ds))),
+        stats = evaluate_pairs(register_fn, ds,
                                re_thresh=args.re_thre,
                                te_thresh_cm=args.te_thre, scene_index=si,
-                               batch_size=args.batch)
+                               batch_size=args.batch, workers=args.workers)
         all_stats[scene] = stats
         ok = stats[stats[:, 0] == 1]
         log.info(

@@ -126,6 +126,8 @@ def main():
     ap.add_argument("--device-match", action="store_true",
                     help="on-device correspondence building (removes the "
                          "host mutual-1-NN bottleneck)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="threaded pair prefetch in the harness")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--keep-fixture", default=None,
@@ -167,6 +169,8 @@ def main():
         argv += ["--mesh", str(args.mesh)]
     if args.device_match:
         argv += ["--device-match"]
+    if args.workers:
+        argv += ["--workers", str(args.workers)]
     sys.argv = argv
     t0 = time.perf_counter()
     test_3dmatch.main()

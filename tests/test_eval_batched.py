@@ -152,3 +152,25 @@ def test_register_batch_solver_post_steps_apply(setup):
     serial = _rows(fn, pairs[:4])
     batched = _rows(fn, pairs[:4], batch_size=4)
     assert_rows_match(batched, serial)
+
+
+def test_workers_prefetch_matches_serial(setup):
+    """Threaded pair prefetch must change only the timing columns."""
+    model, variables, pairs = setup
+    reg = PointDSCRegistrar(model, variables, buckets=(256, 1000))
+    fn = make_register_fn(reg)
+
+    class DS:  # the indexable dataset protocol the CLIs pass
+        def __len__(self):
+            return len(pairs)
+
+        def __getitem__(self, i):
+            return dict(pairs[i])
+
+    serial = _rows(fn, pairs)
+    pre = evaluate_pairs(fn, DS(), re_thresh=15.0, te_thresh_cm=30.0,
+                         scene_index=3, workers=3)
+    pre_b = evaluate_pairs(fn, DS(), re_thresh=15.0, te_thresh_cm=30.0,
+                           scene_index=3, workers=3, batch_size=4)
+    assert_rows_match(pre, serial)
+    assert_rows_match(pre_b, serial)
