@@ -119,6 +119,12 @@ def match_descriptors_device(src_keypts, tgt_keypts, src_desc, tgt_desc,
     elif in_dim == 9:
         corr_pos = jnp.concatenate(
             [src_sel, tgt_sel, src_sel - tgt_sel], axis=-1)
+    elif in_dim == 6 + 2 * src_desc.shape[1]:  # reference's in_dim 70
+        pos = jnp.concatenate([src_sel, tgt_sel], axis=-1)
+        mean = pos.sum(0) / jnp.maximum(corr_mask.sum(), 1.0)
+        corr_pos = jnp.concatenate(
+            [(pos - mean) * cm, src_desc * cm, tgt_desc[src_idx] * cm],
+            axis=-1)
     else:
         raise ValueError(f"unsupported in_dim {in_dim} for device matching")
     return {

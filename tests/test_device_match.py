@@ -33,18 +33,21 @@ def make_pair(rng, ns=150, nt=130, d=16, inlier_frac=0.5):
     return xyz0, xyz1, fs, ft, T
 
 
-@pytest.mark.parametrize("use_mutual", [True, False])
-def test_match_descriptors_device_parity(rng, use_mutual):
+@pytest.mark.parametrize("use_mutual,in_dim", [
+    (True, 6), (False, 6), (True, 3), (True, 9), (True, 70),
+])
+def test_match_descriptors_device_parity(rng, use_mutual, in_dim):
     import jax.numpy as jnp
 
     from gmf_tpu.data.correspondence import (
         build_correspondences, match_descriptors_device,
     )
 
-    xyz0, xyz1, fs, ft, T = make_pair(rng)
+    # in_dim 70 = 6 + 2*32: the descriptor-concat encoding
+    xyz0, xyz1, fs, ft, T = make_pair(rng, d=32 if in_dim == 70 else 16)
     ns, nt = len(xyz0), len(xyz1)
     host = build_correspondences(xyz0, xyz1, fs, ft, T, 0.10,
-                                 use_mutual=use_mutual, in_dim=6)
+                                 use_mutual=use_mutual, in_dim=in_dim)
 
     bs, bt = 192, 160  # pad both sides
     pad = lambda x, b: np.pad(x, [(0, b - len(x))] + [(0, 0)] * (x.ndim - 1))
@@ -54,7 +57,7 @@ def test_match_descriptors_device_parity(rng, use_mutual):
         jnp.asarray(pad(xyz0, bs)), jnp.asarray(pad(xyz1, bt)),
         jnp.asarray(pad(fs, bs)), jnp.asarray(pad(ft, bt)),
         jnp.asarray(T), 0.10, jnp.asarray(mask_s), jnp.asarray(mask_t),
-        use_mutual=use_mutual, in_dim=6)
+        use_mutual=use_mutual, in_dim=in_dim)
 
     cmask = np.asarray(dev["corr_mask"])
     valid = cmask > 0
