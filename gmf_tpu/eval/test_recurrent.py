@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--descriptor", default="fcgf")
     ap.add_argument("--num-node", default="all")
     ap.add_argument("--scenes", nargs="*", default=None)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per batched dispatch")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="threaded pair prefetch")
+    ap.add_argument("--device-match", action="store_true",
+                    help="on-device correspondence building")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -49,9 +55,11 @@ def main():
         all_stats = {}
         for si, scene in enumerate(scenes):
             ds = ThreeDMatchTest(root=args.root, descriptor=args.descriptor,
-                                 num_node=num_node, select_scene=scene)
+                                 num_node=num_node, select_scene=scene,
+                                 device_match=args.device_match)
             all_stats[scene] = evaluate_pairs(
-                registrar, (ds[i] for i in range(len(ds))), scene_index=si)
+                registrar, ds, scene_index=si, batch_size=args.batch,
+                workers=args.workers)
         agg = aggregate_scenes(all_stats)
         log.info(f"{os.path.basename(ckpt)}: recall={agg['recall_pct']:.2f}%")
         if agg["recall_pct"] > best[1]:
