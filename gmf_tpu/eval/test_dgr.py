@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny net widths (fixture/CI smoke — checkpoints "
                          "must match)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="prefetch pair IO (PLY + image reads) with N "
+                         "threads, overlapping register()")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -84,26 +87,47 @@ def main():
 
     rows = []
     if args.dataset == "3dmatch":
+        specs = []  # (scene_index, scene, key, base, i, j, T_gt)
         for si, scene in enumerate(args.scenes or SCENE_LIST):
             gt = load_gt_log(os.path.join(args.root, scene))
+            base = os.path.join(args.root, scene, "seq-01")
             for key, T_gt_ts in gt.items():
                 i, j = key.split("_")
-                base = os.path.join(args.root, scene, "seq-01")
-                xyz0 = read_ply(os.path.join(base, f"cloud_bin_{i}.ply"))["xyz"]
-                xyz1 = read_ply(os.path.join(base, f"cloud_bin_{j}.ply"))["xyz"]
-                p_img = load_image(os.path.join(base, f"cloud_bin_{i}_0.png"))[None]
-                q_img = load_image(os.path.join(base, f"cloud_bin_{j}_0.png"))[None]
-                T_gt = np.linalg.inv(T_gt_ts)
-                res = engine.register(xyz0, xyz1, p_img, q_img)
-                T = res["trans"]
-                tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
-                rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
-                rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
-                ok = (rte < rte_thresh) and (rre < rre_thresh)
-                rows.append([float(ok), rre, rte, si,
-                             float(res["used_safeguard"])])
-                log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
-                         f"rre={rre:.2f} rte={rte:.3f}")
+                specs.append((si, scene, key, base, i, j,
+                              np.linalg.inv(T_gt_ts)))
+
+        class _PairLoader:
+            """Indexable pair IO for the harness thread prefetcher."""
+
+            def __len__(self):
+                return len(specs)
+
+            def __getitem__(self, n):
+                si, scene, key, base, i, j, T_gt = specs[n]
+                xyz0 = read_ply(
+                    os.path.join(base, f"cloud_bin_{i}.ply"))["xyz"]
+                xyz1 = read_ply(
+                    os.path.join(base, f"cloud_bin_{j}.ply"))["xyz"]
+                p_img = load_image(
+                    os.path.join(base, f"cloud_bin_{i}_0.png"))[None]
+                q_img = load_image(
+                    os.path.join(base, f"cloud_bin_{j}_0.png"))[None]
+                return si, scene, key, xyz0, xyz1, p_img, q_img, T_gt
+
+        from gmf_tpu.eval.harness import _iter_with_data_time
+
+        for item, _dt in _iter_with_data_time(_PairLoader(), args.workers):
+            si, scene, key, xyz0, xyz1, p_img, q_img, T_gt = item
+            res = engine.register(xyz0, xyz1, p_img, q_img)
+            T = res["trans"]
+            tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
+            rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+            rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
+            ok = (rte < rte_thresh) and (rre < rre_thresh)
+            rows.append([float(ok), rre, rte, si,
+                         float(res["used_safeguard"])])
+            log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
+                     f"rre={rre:.2f} rte={rte:.3f}")
     else:
         raise SystemExit("kitti raw-cloud eval needs the velodyne layout; "
                          "use gmf_tpu.eval.test_kitti for the "
