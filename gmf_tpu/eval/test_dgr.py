@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="prefetch pair IO (PLY + image reads) with N "
                          "threads, overlapping register()")
+    ap.add_argument("--overlap", type=int, default=1,
+                    help="keep K register() calls in flight (threads): "
+                         "pair k+1's host phases (voxelize, unique) run "
+                         "while pair k waits on device fetches. Results "
+                         "are per-pair independent and identical to "
+                         "serial; improves eval WALL throughput only")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -116,9 +122,8 @@ def main():
 
         from gmf_tpu.eval.harness import _iter_with_data_time
 
-        for item, _dt in _iter_with_data_time(_PairLoader(), args.workers):
-            si, scene, key, xyz0, xyz1, p_img, q_img, T_gt = item
-            res = engine.register(xyz0, xyz1, p_img, q_img)
+        def process(item, res):
+            si, scene, key, _x0, _x1, _pi, _qi, T_gt = item
             T = res["trans"]
             tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
             rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
@@ -128,6 +133,26 @@ def main():
                          float(res["used_safeguard"])])
             log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
                      f"rre={rre:.2f} rte={rte:.3f}")
+
+        items = _iter_with_data_time(_PairLoader(), args.workers)
+        if args.overlap > 1:
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=args.overlap) as ex:
+                inflight = collections.deque()
+                for item, _dt in items:
+                    inflight.append((item, ex.submit(
+                        engine.register, *item[3:7])))
+                    if len(inflight) >= args.overlap:
+                        it, fut = inflight.popleft()
+                        process(it, fut.result())
+                while inflight:
+                    it, fut = inflight.popleft()
+                    process(it, fut.result())
+        else:
+            for item, _dt in items:
+                process(item, engine.register(*item[3:7]))
     else:
         raise SystemExit("kitti raw-cloud eval needs the velodyne layout; "
                          "use gmf_tpu.eval.test_kitti for the "

@@ -104,6 +104,18 @@ def test_dgr_cli(dgr_fixture_tree, monkeypatch, caplog):
     assert np.all(np.isfinite(stats))
     assert "recall=" in caplog.text
 
+    # --overlap/--workers: threaded pipeline must reproduce serial rows
+    out_dir2 = os.path.join(root, "dgr_out_ovl")
+    monkeypatch.setattr(sys, "argv", [
+        "test_dgr", "--root", root, "--fcgf-checkpoint", fcgf_ckpt,
+        "--inlier-checkpoint", inlier_ckpt, "--scenes", scene,
+        "--voxel", "0.1", "--tiny", "--out", out_dir2,
+        "--overlap", "2", "--workers", "2",
+    ])
+    test_dgr.main()
+    stats2 = np.load(os.path.join(out_dir2, "dgr_stats.npy"))
+    np.testing.assert_array_equal(stats2, stats)
+
 
 # ---------------------------------------------------------------------------
 # eval/test_kitti.py — precomputed npz-per-pair protocol
