@@ -120,43 +120,71 @@ def main():
                     os.path.join(base, f"cloud_bin_{j}_0.png"))[None]
                 return si, scene, key, xyz0, xyz1, p_img, q_img, T_gt
 
-        from gmf_tpu.eval.harness import _iter_with_data_time
+        loader = _PairLoader()
+    else:
+        # KITTI raw-velodyne protocol (GMF_DGR_fcgf/scripts/test_kitti.py:
+        # test sequences 8-10, >=10 m odometry pairs, ICP-refined GT)
+        from gmf_tpu.data.kitti_dgr_loader import (
+            KITTINMPairDataset, read_velodyne_bin,
+        )
 
-        def process(item, res):
-            si, scene, key, _x0, _x1, _pi, _qi, T_gt = item
-            T = res["trans"]
-            tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
-            rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
-            rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
-            ok = (rte < rte_thresh) and (rre < rre_thresh)
-            rows.append([float(ok), rre, rte, si,
-                         float(res["used_safeguard"])])
-            log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
-                     f"rre={rre:.2f} rte={rte:.3f}")
+        seqs = ([int(s) for s in args.scenes] if args.scenes
+                else [8, 9, 10])
+        kds = KITTINMPairDataset(args.root, sequences=seqs,
+                                 voxel_size=voxel)
 
-        items = _iter_with_data_time(_PairLoader(), args.workers)
-        if args.overlap > 1:
-            import collections
-            from concurrent.futures import ThreadPoolExecutor
+        class _KittiPairLoader:
+            def __len__(self):
+                return len(kds.pairs)
 
-            with ThreadPoolExecutor(max_workers=args.overlap) as ex:
-                inflight = collections.deque()
-                for item, _dt in items:
-                    inflight.append((item, ex.submit(
-                        engine.register, *item[3:7])))
-                    if len(inflight) >= args.overlap:
-                        it, fut = inflight.popleft()
-                        process(it, fut.result())
-                while inflight:
+            def __getitem__(self, n):
+                seq, t0, t1 = kds.pairs[n]
+                xyz0 = read_velodyne_bin(kds._velo_path(seq, t0))
+                xyz1 = read_velodyne_bin(kds._velo_path(seq, t1))
+                T_gt = kds.gt_transform(seq, t0, t1, xyz0, xyz1).astype(
+                    np.float32)
+                p_img = load_image(kds._image_path(seq, t0),
+                                   *kds.image_hw)[None]
+                q_img = load_image(kds._image_path(seq, t1),
+                                   *kds.image_hw)[None]
+                return (seq, f"{seq:02d}", f"{t0}_{t1}",
+                        xyz0, xyz1, p_img, q_img, T_gt)
+
+        loader = _KittiPairLoader()
+
+    from gmf_tpu.eval.harness import _iter_with_data_time
+
+    def process(item, res):
+        si, scene, key, _x0, _x1, _pi, _qi, T_gt = item
+        T = res["trans"]
+        tr = float(np.trace(T[:3, :3].T @ T_gt[:3, :3]))
+        rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+        rte = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
+        ok = (rte < rte_thresh) and (rre < rre_thresh)
+        rows.append([float(ok), rre, rte, si,
+                     float(res["used_safeguard"])])
+        log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
+                 f"rre={rre:.2f} rte={rte:.3f}")
+
+    items = _iter_with_data_time(loader, args.workers)
+    if args.overlap > 1:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.overlap) as ex:
+            inflight = collections.deque()
+            for item, _dt in items:
+                inflight.append((item, ex.submit(
+                    engine.register, *item[3:7])))
+                if len(inflight) >= args.overlap:
                     it, fut = inflight.popleft()
                     process(it, fut.result())
-        else:
-            for item, _dt in items:
-                process(item, engine.register(*item[3:7]))
+            while inflight:
+                it, fut = inflight.popleft()
+                process(it, fut.result())
     else:
-        raise SystemExit("kitti raw-cloud eval needs the velodyne layout; "
-                         "use gmf_tpu.eval.test_kitti for the "
-                         "precomputed-pair protocol")
+        for item, _dt in items:
+            process(item, engine.register(*item[3:7]))
 
     stats = np.asarray(rows)
     recall = stats[:, 0].mean() * 100

@@ -117,6 +117,81 @@ def test_dgr_cli(dgr_fixture_tree, monkeypatch, caplog):
     np.testing.assert_array_equal(stats2, stats)
 
 
+def test_dgr_cli_kitti(tmp_path, rng, monkeypatch, caplog):
+    """--dataset kitti: raw velodyne pairs through register()."""
+    import matplotlib.image as mpimg
+
+    from gmf_tpu.sparse.kernel_map import build_pyramid
+    from gmf_tpu.sparse.resunet import SparseResUNet2, pyramid_to_arrays
+    from gmf_tpu.utils.checkpoint import save_checkpoint
+
+    # KITTI layout: straight-line trajectory, same world cloud per frame
+    seq_dir = tmp_path / "sequences" / "00"
+    (seq_dir / "velodyne").mkdir(parents=True)
+    (seq_dir / "image_2").mkdir()
+    (tmp_path / "poses").mkdir()
+    base_cloud = rng.rand(500, 3).astype(np.float32) * 16 - 8
+    poses = []
+    for t in range(3):
+        T = np.eye(4)
+        T[:3, 3] = [11.0 * t, 0, 0]
+        poses.append(T[:3, :4].reshape(-1))
+        pts = base_cloud - np.array([11.0 * t, 0, 0], np.float32)
+        scan = np.concatenate(
+            [pts, np.ones((len(pts), 1), np.float32)], 1)
+        scan.astype(np.float32).tofile(
+            seq_dir / "velodyne" / f"{t:06d}.bin")
+        mpimg.imsave(seq_dir / "image_2" / f"{t:06d}.png",
+                     (rng.rand(24, 32, 3) * 255).astype(np.uint8))
+    np.savetxt(tmp_path / "poses" / "00.txt", np.stack(poses))
+    with open(seq_dir / "calib.txt", "w") as f:
+        tr = np.eye(4)[:3, :4].reshape(-1)
+        f.write("Tr: " + " ".join(f"{v:.6f}" for v in tr) + "\n")
+
+    # tiny-net checkpoints matching the CLI's --tiny widths
+    fcgf = SparseResUNet2(in_channels=1, out_channels=8, dim=3,
+                          conv1_kernel_size=3, normalize_feature=True,
+                          channels=(4, 8, 16, 32), tr_channels=(8, 8, 8, 16))
+    inlier = SparseResUNet2(in_channels=1, out_channels=1, dim=6,
+                            conv1_kernel_size=3, with_gmf_fusion=True,
+                            image_dim=16, channels=(4, 8, 16, 32),
+                            tr_channels=(8, 8, 8, 16))
+    r = np.random.RandomState(5)
+    c3 = np.unique(r.randint(0, 10, (80, 3)).astype(np.int32), axis=0)
+    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=3,
+                                         granule=256))
+    fv = fcgf.init(jax.random.PRNGKey(0),
+                   jnp.ones((a3["mask_0"].shape[0], 1)), a3)
+    c6 = np.unique(r.randint(0, 6, (60, 6)).astype(np.int32), axis=0)
+    a6 = pyramid_to_arrays(build_pyramid(c6, 4, conv1_kernel_size=3,
+                                         granule=256))
+    img = jnp.zeros((1, 16, 16, 3))
+    iv = inlier.init(jax.random.PRNGKey(1),
+                     jnp.ones((a6["mask_0"].shape[0], 1)), a6,
+                     p_image=img, q_image=img)
+    fcgf_ckpt = str(tmp_path / "fcgf_ckpt")
+    inlier_ckpt = str(tmp_path / "inlier_ckpt")
+    save_checkpoint(fcgf_ckpt, dict(fv))
+    save_checkpoint(inlier_ckpt, dict(iv))
+
+    from gmf_tpu.eval import test_dgr
+
+    out_dir = str(tmp_path / "dgr_kitti_out")
+    monkeypatch.setattr(sys, "argv", [
+        "test_dgr", "--root", str(tmp_path), "--dataset", "kitti",
+        "--fcgf-checkpoint", fcgf_ckpt, "--inlier-checkpoint", inlier_ckpt,
+        "--scenes", "0", "--voxel", "0.5", "--tiny", "--out", out_dir,
+    ])
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        test_dgr.main()
+    stats = np.load(os.path.join(out_dir, "dgr_stats.npy"))
+    assert stats.shape[0] >= 1 and stats.shape[1] == 5
+    assert np.all(np.isfinite(stats))
+    assert "recall=" in caplog.text
+
+
 # ---------------------------------------------------------------------------
 # eval/test_kitti.py — precomputed npz-per-pair protocol
 # ---------------------------------------------------------------------------
