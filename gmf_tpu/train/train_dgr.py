@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="prefetch pair batches N-deep on a thread")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--n-points", type=int, default=None,
                     help="synthetic pair size (default: 300 tiny / 2000)")
@@ -154,10 +156,12 @@ def main():
                 idx = order[step * cfg.batch_size:(step + 1) * cfg.batch_size]
                 yield [ds[int(i)] for i in idx]
 
+    from gmf_tpu.data.prefetch import prefetch_iter
+
     best = -1.0
     for epoch in range(cfg.max_epoch):
         sums, count = {}, 0
-        for pairs in epoch_pairs():
+        for pairs in prefetch_iter(epoch_pairs(), args.prefetch):
             m = trainer.train_step(pairs)
             count += 1
             for k, v in m.items():

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--pretrain", default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="prefetch batches N-deep on a thread (host batch "
+                         "construction overlaps device steps)")
     ap.add_argument("--tiny", action="store_true", help="tiny smoke config")
     ap.add_argument("--fused", action="store_true",
                     help="Pallas flash attention in training (custom_vjp "
@@ -176,7 +179,8 @@ def main():
         re_thresh=cfg.re_thre, te_thresh=cfg.te_thre, save_dir=save_dir)
 
     trainer = Trainer(model, tcfg, train_loader, val_loader,
-                      steps_per_epoch=len(train_loader))
+                      steps_per_epoch=len(train_loader),
+                      prefetch=args.prefetch)
     if args.pretrain:
         trainer.load(args.pretrain)
         print(f"loaded pretrain from {args.pretrain}")

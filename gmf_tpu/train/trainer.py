@@ -209,13 +209,14 @@ class Trainer:
     def __init__(self, model, cfg: TrainConfig, train_loader, val_loader,
                  rng_seed: int = 0, mesh=None,
                  steps_per_epoch: Optional[int] = None,
-                 tboard_dir: Optional[str] = None):
+                 tboard_dir: Optional[str] = None, prefetch: int = 0):
         from gmf_tpu.utils.logging_utils import MetricsLogger
 
         self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
+        self.prefetch = prefetch
         self.mesh = mesh if mesh is not None else make_mesh()
         self.logger = MetricsLogger(tboard_dir)
 
@@ -250,9 +251,17 @@ class Trainer:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return shard_batch(batch, self.mesh)
 
+    def _batches(self, loader):
+        """Optionally prefetch host batch construction on a thread."""
+        if self.prefetch > 0:
+            from gmf_tpu.data.prefetch import prefetch_iter
+
+            return prefetch_iter(loader, self.prefetch)
+        return loader
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         sums, count = {}, 0
-        for batch in self.train_loader:
+        for batch in self._batches(self.train_loader):
             batch = self._prep(batch)
             self.params, self.batch_stats, self.opt_state, metrics = (
                 self._train_step(
@@ -267,7 +276,7 @@ class Trainer:
 
     def evaluate(self) -> Dict[str, float]:
         sums, count = {}, 0
-        for batch in self.val_loader:
+        for batch in self._batches(self.val_loader):
             batch = self._prep(batch)
             metrics = self._eval_step(self.params, self.batch_stats, batch)
             count += 1
