@@ -47,7 +47,12 @@ def main():
                          "uses a 16-worker DataLoader)")
     ap.add_argument("--device-match", action="store_true",
                     help="build correspondences on device inside the "
-                         "registration dispatch")
+                         "registration dispatch. NOTE: pairs with <10 "
+                         "mutual matches are kept (in-graph non-mutual "
+                         "fallback) rather than resampled as the host "
+                         "loader does (reference KITTIDataset behavior), "
+                         "so the effective eval set differs on "
+                         "degenerate pairs")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")

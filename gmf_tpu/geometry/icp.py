@@ -44,7 +44,7 @@ def icp_refine(src, tgt, init_trans, max_corr_dist: float = 0.10,
     t2 = jnp.sum(tgt * tgt, axis=-1)
 
     def body(_, T):
-        warped = src @ T[:3, :3].T + T[:3, 3]
+        warped = jnp.matmul(src, T[:3, :3].T, precision=_PREC) + T[:3, 3]
         d2 = (
             jnp.sum(warped * warped, axis=-1)[:, None]
             - 2.0 * jnp.matmul(warped, tgt.T, precision=_PREC)
@@ -101,7 +101,7 @@ def icp_point_to_plane(src, tgt, tgt_normals, init_trans,
     t2 = jnp.sum(tgt * tgt, axis=-1)
 
     def body(_, T):
-        warped = src @ T[:3, :3].T + T[:3, 3]
+        warped = jnp.matmul(src, T[:3, :3].T, precision=_PREC) + T[:3, 3]
         d2 = (
             jnp.sum(warped * warped, axis=-1)[:, None]
             - 2.0 * jnp.matmul(warped, tgt.T, precision=_PREC)
@@ -116,7 +116,7 @@ def icp_point_to_plane(src, tgt, tgt_normals, init_trans,
         r = jnp.sum((warped - q) * n, axis=-1)          # [N]
         J = jnp.concatenate([jnp.cross(warped, n), n], axis=-1)  # [N, 6]
         H = jnp.matmul(J.T, J * w[:, None], precision=_PREC)
-        b = -(J * w[:, None]).T @ r
+        b = -jnp.matmul((J * w[:, None]).T, r, precision=_PREC)
         # Levenberg damping keeps the solve sane on degenerate geometry
         H = H + 1e-6 * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=src.dtype)
         xi = jnp.linalg.solve(H, b)

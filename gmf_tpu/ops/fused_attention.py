@@ -326,10 +326,11 @@ def _default_blocks():
     bq = int(os.environ.get("GMF_FLASH_BLOCK_Q", 512))
     bk = int(os.environ.get("GMF_FLASH_BLOCK_K", 1024))
     for name, b in (("GMF_FLASH_BLOCK_Q", bq), ("GMF_FLASH_BLOCK_K", bk)):
-        if b & (b - 1):
+        if b <= 0 or b & (b - 1):
             raise ValueError(
-                f"{name}={b} must be a power of two (the backward-pass "
-                "VMEM clamp only applies to power-of-two blocks)")
+                f"{name}={b} must be a positive power of two (the "
+                "backward-pass VMEM clamp only applies to power-of-two "
+                "blocks)")
     return bq, bk
 
 

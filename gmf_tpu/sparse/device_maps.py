@@ -811,14 +811,8 @@ def build_pyramid_arrays_device(
             split_plan.append((chains, 0, None))
             continue
         # two-pass routing: rank rows within their src-key group
-        n = len(c)
-        order = np.argsort(gid, kind="stable")
-        sg = gid[order]
-        starts = np.r_[0, np.nonzero(np.diff(sg))[0] + 1]
-        seg_len = np.diff(np.r_[starts, n])
-        ranks_sorted = np.arange(n) - np.repeat(starts, seg_len)
-        rank = np.empty(n, np.int64)
-        rank[order] = ranks_sorted
+        # (rank0 above is exactly that rank — reuse it)
+        rank = rank0
         src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
         excess = rank >= SPLIT_RANK_CAP
         ch_s = SPLIT_RANK_CAP // 3 + 1          # slots cover the cap + slack

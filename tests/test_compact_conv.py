@@ -52,14 +52,22 @@ class TestScheduleExactness:
 
     def test_transpose_matches_dense_up(self, rng):
         """Up conv from the transposed schedule == dense conv on the
-        inversion-scattered up map."""
+        inversion-scattered up map — for BOTH the fused
+        with_transpose=True path (what build_pyramid_arrays_device uses)
+        and the standalone transpose_schedule helper, which must stay
+        bit-equivalent to it."""
         K, Mc, Mf = 27, 48, 120  # coarse out width, fine in width
         # forward (down) map: fine -> coarse, in indexes fine rows
         nbr = _random_map(rng, K, Mc, cap_in=Mf, density=0.6)
         counts = (nbr != Mf).sum(axis=1)
-        down = build_compact_schedule(jnp.asarray(nbr), counts,
-                                      cap_in=Mf, cap_out=Mc)
+        down, up_fused = build_compact_schedule(
+            jnp.asarray(nbr), counts, cap_in=Mf, cap_out=Mc,
+            with_transpose=True)
         up = transpose_schedule(down, cap_in=Mc, cap_out=Mf)
+        # the standalone helper and the fused inversion must agree
+        for a, b in zip(jax.tree_util.tree_leaves(up),
+                        jax.tree_util.tree_leaves(up_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
         # dense up map by host inversion: up[k, fine] = coarse
         up_dense = np.full((K, Mf), Mc, np.int32)

@@ -28,6 +28,35 @@ def test_prefetch_propagates_exceptions():
     assert out == [1, 2]
 
 
+def test_prefetch_abandonment_retires_producer():
+    """Breaking out of the consumer must unblock and retire the
+    producer thread (no leak of the thread or its buffered items)."""
+    import threading
+    import time
+
+    from gmf_tpu.data.prefetch import prefetch_iter
+
+    started = threading.active_count()
+    produced = []
+
+    def slow_gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch_iter(slow_gen(), depth=2)
+    for x in it:
+        if x >= 3:
+            break  # abandon mid-stream with the queue full
+    it.close()  # trigger the generator's finally (GC would, eventually)
+    deadline = time.time() + 10.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= started
+    # the producer stopped early instead of draining all 1000 items
+    assert len(produced) < 100
+
+
 def test_trainer_prefetch_same_metrics(rng):
     """Trainer(prefetch=2) must reproduce the serial epoch exactly."""
     import jax
