@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,6 +26,40 @@ BASELINE_PAIRS_PER_SEC = 1.0 / 0.14  # reference model time 0.14 s/pair
 # KITTI preset: the reference's 0.37 s/pair model time at num_node=12000
 # (GMF_PointDSC/evaluation/test_KITTI.py:170-176).
 KITTI_BASELINE_PAIRS_PER_SEC = 1.0 / 0.37
+
+
+def _wait_for_tpu(max_wait: float = None) -> bool:
+    """Probe TPU reachability in a SUBPROCESS before importing jax here.
+
+    This machine's TPU tunnel flaps; jax.devices() on a dead tunnel
+    hangs for minutes with no in-process timeout. Probe in a killable
+    child, retrying up to GMF_BENCH_TPU_WAIT seconds (default 600), so
+    a driver-run bench fails loudly instead of hanging forever.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if max_wait is None:
+        max_wait = float(os.environ.get("GMF_BENCH_TPU_WAIT", "600"))
+    deadline = time.time() + max_wait
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('TPU_OK')"],
+                capture_output=True, text=True, timeout=240)
+            if "TPU_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench.py: TPU unreachable after "
+                  f"{max_wait:.0f}s of probing — no measurement "
+                  "(rerun when the tunnel is back, or pass --cpu)",
+                  file=sys.stderr)
+            return False
+        time.sleep(30)
 
 
 def main():
@@ -78,7 +113,7 @@ def main():
         args.num_corr = 30000
         if args.batch > 2:
             print(f"--lomatch: clamping --batch {args.batch} -> 2",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
             args.batch = 2
         if args.bf16 is None:
             args.bf16 = True
@@ -91,7 +126,7 @@ def main():
         if args.batch > 8:
             print(f"--kitti: clamping --batch {args.batch} -> 8 "
                   "(N=12000 throughput flattens there; larger OOMs HBM)",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
             args.batch = 8
         if args.bf16 is None:
             args.bf16 = True
@@ -99,6 +134,9 @@ def main():
             args.fused = True
     baseline = (KITTI_BASELINE_PAIRS_PER_SEC if args.kitti
                 else BASELINE_PAIRS_PER_SEC)
+
+    if not args.cpu and not _wait_for_tpu():
+        raise SystemExit(2)
 
     import jax
 
