@@ -66,6 +66,62 @@ def test_dgr_register_reference_demo_pair():
 
 
 @pytest.mark.skipif(not os.path.exists(SRC), reason="reference demo_data absent")
+def test_device_match_reference_demo_pair():
+    """The real pair through the registrar's RAW-descriptor path: mutual
+    1-NN matching + labels + corr_pos all on device inside the dispatch
+    (--device-match on the eval CLIs). Same 15 deg / 30 cm anchor as the
+    host-matched demo path — real FPFH descriptors, untrained tiny net."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmf_tpu.data.ply import read_ply
+    from gmf_tpu.eval.registration import PointDSCRegistrar
+    from gmf_tpu.models import PointDSC
+    from gmf_tpu.ops.fpfh import compute_fpfh
+    from gmf_tpu.sparse.voxelize import sparse_quantize
+
+    rng = np.random.RandomState(0)
+
+    def prep(path):
+        xyz = read_ply(path)["xyz"]
+        _, sel = sparse_quantize(xyz, 0.05)
+        pts = xyz[sel].astype(np.float32)
+        if len(pts) > 1500:
+            pts = pts[rng.choice(len(pts), 1500, replace=False)]
+        feat = np.asarray(compute_fpfh(jnp.asarray(pts)))
+        return pts, feat
+
+    pts0, feat0 = prep(SRC)
+    pts1, feat1 = prep(TGT)
+    img = np.full((24, 32, 3), 0.5, np.float32)
+    sample = {
+        "src_keypts": pts0, "tgt_keypts": pts1,
+        "src_desc": feat0, "tgt_desc": feat1,
+        # gt only drives the label stats, not the estimate
+        "gt_trans": T_ANCHOR,
+        "p_image": img, "q_image": img,
+    }
+
+    model = PointDSC(num_layers=2, num_channels=32, k=20)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 6)), jnp.zeros((1, 64, 3)),
+        jnp.zeros((1, 64, 3)), jnp.asarray(img)[None],
+        jnp.asarray(img)[None])
+    registrar = PointDSCRegistrar(model, variables, match_mutual=False)
+    (trans, labels), = registrar.register_batch([sample])
+    assert np.all(np.isfinite(trans))
+    # raw path writes the matched rows back into the sample
+    assert sample["src_keypts"].shape == sample["tgt_keypts"].shape
+    assert len(labels) == len(sample["labels"])
+
+    R_err = trans[:3, :3] @ T_ANCHOR[:3, :3].T
+    re_deg = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
+    te = np.linalg.norm(trans[:3, 3] - T_ANCHOR[:3, 3])
+    assert re_deg < 15.0 and te < 0.30, (re_deg, te, trans)
+
+
+@pytest.mark.skipif(not os.path.exists(SRC), reason="reference demo_data absent")
 def test_register_reference_demo_pair(tmp_path):
     out = tmp_path / "trans.npy"
     res = subprocess.run(
