@@ -172,3 +172,68 @@ def make_fragments(depths: Sequence[np.ndarray], intrinsics: np.ndarray,
         fragments.append({"xyz": xyz.astype(np.float32),
                           "pose": graph.nodes, "path": path})
     return fragments
+
+
+def _read_depth(path: str, depth_scale: float) -> np.ndarray:
+    """Read one depth frame: .npy (meters) or 16-bit .png (units of
+    1/depth_scale meters, the TUM/Redwood convention the reference's
+    Open3D read_image consumes)."""
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    from PIL import Image
+
+    d = np.asarray(Image.open(path))
+    return d.astype(np.float32) / float(depth_scale)
+
+
+def main():
+    """CLI parity: GMF_PointDSC/multiway/make_fragments.py __main__ —
+    scan a sequence directory for depth frames, emit
+    fragments/fragment_%03d.ply (+ _pose.npy) for multiway_cli."""
+    import argparse
+    import glob
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--depth-dir", required=True,
+                    help="directory of depth frames (*.png 16-bit or *.npy)")
+    ap.add_argument("--out", required=True, help="fragment output directory")
+    ap.add_argument("--intrinsics", default=None,
+                    help=".npy [3,3] camera matrix (default: primesense "
+                         "525/525/319.5/239.5, the reference's default)")
+    ap.add_argument("--depth-scale", type=float, default=1000.0,
+                    help="png depth units per meter")
+    ap.add_argument("--n-frames-per-fragment", type=int, default=20)
+    ap.add_argument("--n-keyframes-per-n-frame", type=int, default=5)
+    ap.add_argument("--voxel", type=float, default=0.02)
+    ap.add_argument("--depth-trunc", type=float, default=4.0)
+    ap.add_argument("--max-corr-dist", type=float, default=0.07)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    paths = sorted(glob.glob(os.path.join(args.depth_dir, "*.npy"))
+                   + glob.glob(os.path.join(args.depth_dir, "*.png")))
+    if not paths:
+        raise SystemExit(f"no depth frames under {args.depth_dir}")
+    depths = [_read_depth(p, args.depth_scale) for p in paths]
+    if args.intrinsics:
+        K = np.asarray(np.load(args.intrinsics), np.float32)
+    else:
+        K = np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]],
+                     np.float32)
+    frags = make_fragments(
+        depths, K, args.out,
+        n_frames_per_fragment=args.n_frames_per_fragment,
+        n_keyframes_per_n_frame=args.n_keyframes_per_n_frame,
+        voxel_size=args.voxel, depth_trunc=args.depth_trunc,
+        max_corr_dist=args.max_corr_dist)
+    print(f"{len(depths)} frames -> {len(frags)} fragments in {args.out}")
+
+
+if __name__ == "__main__":
+    main()

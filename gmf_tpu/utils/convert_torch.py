@@ -266,3 +266,41 @@ def convert_oanet(sd: Dict[str, np.ndarray], num_layers: int = 6):
     stack("l1_2", "l1_2", num_layers // 2 - 1)
     p["output"] = _dense(sd, "output")
     return {"params": p, "batch_stats": bs}
+
+
+def main():
+    """CLI: convert a reference torch state_dict to a gmf_tpu checkpoint
+    directory (state.msgpack + config.json). The eval CLIs also accept
+    .pkl/.pth directly (model_io.load_pointdsc converts on the fly) —
+    this persists the conversion once.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="torch checkpoint (.pkl/.pth state_dict)")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--model", choices=["pointdsc", "oanet"],
+                    default="pointdsc")
+    ap.add_argument("--num-layers", type=int, default=None)
+    args = ap.parse_args()
+
+    from gmf_tpu.utils.checkpoint import save_checkpoint
+
+    sd = load_torch_state_dict(args.input)
+    if args.model == "pointdsc":
+        n = args.num_layers or 12
+        variables = convert_pointdsc(sd, num_layers=n)
+    else:
+        n = args.num_layers or 6
+        variables = convert_oanet(sd, num_layers=n)
+    # the embedded model config is what load_pointdsc reconstructs from
+    save_checkpoint(args.out, variables,
+                    config={"converted_from": args.input,
+                            "arch": args.model,
+                            "model": {"num_layers": n}})
+    print(f"converted {args.input} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,27 @@ def test_sequence_to_fragments_to_multiway_ate(sequence, tmp_path):
     re, te = pose_err(graph.nodes[1], gt[1])
     assert re < 3.0 and te < 0.05, (re, te)
     assert ate_rmse(graph.nodes, gt) < 0.05
+
+
+def test_make_fragments_cli(sequence, tmp_path):
+    """The __main__ CLI: depth .npy frames on disk -> fragment tree."""
+    import subprocess
+    import sys
+
+    depths, _ = sequence
+    ddir = tmp_path / "depth"
+    ddir.mkdir()
+    for i, d in enumerate(depths[:4]):
+        np.save(ddir / f"{i:04d}.npy", d)
+    np.save(tmp_path / "K.npy", K)
+    out = tmp_path / "fragments"
+    res = subprocess.run(
+        [sys.executable, "-m", "gmf_tpu.apps.make_fragments",
+         "--depth-dir", str(ddir), "--out", str(out),
+         "--intrinsics", str(tmp_path / "K.npy"),
+         "--n-frames-per-fragment", "2", "--voxel", "0.04", "--cpu"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=560)
+    assert res.returncode == 0, res.stderr[-2000:]
+    plys = sorted(os.listdir(out))
+    assert "fragment_000.ply" in plys and "fragment_001.ply" in plys
+    assert "fragment_000_pose.npy" in plys

@@ -349,3 +349,39 @@ class TestFullPointDSCParity:
             atol=5e-4)
         np.testing.assert_array_equal(
             np.asarray(out["final_labels"]), ref_out["final_labels"].numpy())
+
+
+class TestConvertCLI:
+    """python -m gmf_tpu.utils.convert_torch round trip: reference torch
+    state_dict file -> checkpoint dir -> load_pointdsc == in-memory
+    conversion."""
+
+    def test_cli_roundtrip(self, ref, rng, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        torch.manual_seed(7)
+        ref_model = ref.pointdsc.PointDSC(
+            in_dim=6, num_layers=3, num_channels=128, num_iterations=10,
+            ratio=0.1, inlier_threshold=0.10, sigma_d=0.10, k=20,
+            nms_radius=0.10)
+        pkl = tmp_path / "model_best.pkl"
+        torch.save(ref_model.state_dict(), str(pkl))
+
+        out = tmp_path / "ckpt"
+        res = subprocess.run(
+            [_sys.executable, "-m", "gmf_tpu.utils.convert_torch",
+             "--input", str(pkl), "--out", str(out), "--num-layers", "3"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stderr[-2000:]
+
+        from gmf_tpu.utils.model_io import load_pointdsc
+
+        model, variables = load_pointdsc(str(out))
+        assert model.num_layers == 3
+        want = convert_pointdsc(_sd_numpy(ref_model), num_layers=3)
+        import jax
+
+        for a, b in zip(jax.tree_util.tree_leaves(variables),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
