@@ -146,7 +146,7 @@ def _iter_with_data_time(pairs: Iterable[Dict], workers: int = 0,
 def evaluate_pairs(register_fn: Callable, pairs: Iterable[Dict],
                    re_thresh: float = 15.0, te_thresh_cm: float = 30.0,
                    scene_index: int = 0, batch_size: int = 1,
-                   workers: int = 0) -> np.ndarray:
+                   workers: int = 0, inflight: int = 1) -> np.ndarray:
     """Run ``register_fn(pair) -> (pred_trans, pred_labels)`` over pairs.
 
     Each pair dict needs src_keypts, tgt_keypts, gt_trans, labels (and
@@ -162,13 +162,21 @@ def evaluate_pairs(register_fn: Callable, pairs: Iterable[Dict],
 
     ``workers > 0`` prefetches pairs with a thread pool when ``pairs``
     is an indexable dataset (see ``_iter_with_data_time``).
+
+    ``inflight > 1`` keeps up to that many batched dispatches in flight
+    (registrar ``dispatch_batch``/``fetch_batch`` split): the device
+    computes batch k+1 while the host fetches and scores batch k. Every
+    result is still fetched and scored — only idle relay/stats gaps are
+    hidden. model_time then reports each batch's host-blocking time
+    (dispatch + fetch wait) per pair, so summed model_time stays a
+    faithful lower bound of device-side wall time.
     """
     import time
 
     if batch_size > 1 and hasattr(register_fn, "register_batch"):
         return _evaluate_pairs_batched(register_fn, pairs, re_thresh,
                                        te_thresh_cm, scene_index,
-                                       batch_size, workers)
+                                       batch_size, workers, inflight)
 
     rows: List[np.ndarray] = []
     for pair, data_time in _iter_with_data_time(pairs, workers):
@@ -189,22 +197,22 @@ def evaluate_pairs(register_fn: Callable, pairs: Iterable[Dict],
 def _evaluate_pairs_batched(register_fn: Callable, pairs: Iterable[Dict],
                             re_thresh: float, te_thresh_cm: float,
                             scene_index: int, batch_size: int,
-                            workers: int = 0) -> np.ndarray:
-    """Bucket-grouped batched evaluation (one dispatch per group)."""
+                            workers: int = 0, inflight: int = 1) -> np.ndarray:
+    """Bucket-grouped batched evaluation (one dispatch per group); with
+    ``inflight > 1`` and a registrar exposing dispatch_batch/fetch_batch,
+    up to that many dispatches stay in flight."""
+    import collections
     import time
 
     rows: Dict[int, np.ndarray] = {}
     groups: Dict[int, List] = {}  # bucket -> [(orig_idx, pair, data_time)]
     eval_bucket = getattr(register_fn, "eval_bucket",
                           lambda ps: ps[0]["corr_pos"].shape[0])
+    can_pipeline = (inflight > 1 and hasattr(register_fn, "dispatch_batch")
+                    and hasattr(register_fn, "fetch_batch"))
+    pending = collections.deque()  # (group, handle, dispatch_secs)
 
-    def flush(bucket: int):
-        group = groups.pop(bucket, [])
-        if not group:
-            return
-        t0 = time.perf_counter()
-        results = register_fn.register_batch([p for _, p, _ in group])
-        model_time = (time.perf_counter() - t0) / len(group)
+    def score(group, results, model_time):
         for (i, pair, dt), (trans, labels) in zip(group, results):
             stats = compute_pair_stats(
                 np.asarray(trans), pair["gt_trans"], pair["src_keypts"],
@@ -212,6 +220,29 @@ def _evaluate_pairs_batched(register_fn: Callable, pairs: Iterable[Dict],
                 re_thresh, te_thresh_cm, model_time, dt, scene_index,
                 mask=pair.get("corr_mask"))
             rows[i] = stats.to_row()
+
+    def drain_one():
+        group, handle, disp_s = pending.popleft()
+        t0 = time.perf_counter()
+        results = register_fn.fetch_batch(handle)
+        # host-blocking time only: dispatch + fetch wait (overlapped
+        # device compute is deliberately NOT double-counted)
+        score(group, results, (disp_s + time.perf_counter() - t0)
+              / len(group))
+
+    def flush(bucket: int):
+        group = groups.pop(bucket, [])
+        if not group:
+            return
+        t0 = time.perf_counter()
+        if can_pipeline:
+            handle = register_fn.dispatch_batch([p for _, p, _ in group])
+            pending.append((group, handle, time.perf_counter() - t0))
+            if len(pending) >= inflight:
+                drain_one()
+        else:
+            results = register_fn.register_batch([p for _, p, _ in group])
+            score(group, results, (time.perf_counter() - t0) / len(group))
 
     count = 0
     for pair, data_time in _iter_with_data_time(pairs, workers):
@@ -222,6 +253,8 @@ def _evaluate_pairs_batched(register_fn: Callable, pairs: Iterable[Dict],
             flush(b)
     for b in list(groups):
         flush(b)
+    while pending:
+        drain_one()
     return (np.stack([rows[i] for i in range(count)]) if count
             else np.zeros((0, 12)))
 

@@ -156,10 +156,21 @@ class PointDSCRegistrar:
         rows cannot change real rows). Returns per-sample (trans [4,4],
         labels [n_i]) in input order.
         """
+        return self.fetch_batch(self.dispatch_batch(samples))
+
+    def dispatch_batch(self, samples: Sequence[Dict[str, np.ndarray]]):
+        """Start one batched dispatch WITHOUT syncing on the result.
+
+        Returns an opaque handle for ``fetch_batch``. JAX dispatch is
+        async: issuing batch k+1 before fetching batch k keeps the
+        device busy across the host's fetch/stats gap (this machine's
+        TPU relay adds ~50 ms per sync) — the harness's pipeline depth
+        rides on this split.
+        """
         if not samples:
-            return []
+            return ("empty",)
         if "corr_pos" not in samples[0]:
-            return self._register_batch_raw(samples)
+            return self._dispatch_batch_raw(samples)
         bucket = self.eval_bucket(samples)
         padded = [self._pad_one(s, bucket=bucket) for s in samples]
         b_real = len(samples)
@@ -181,6 +192,18 @@ class PointDSCRegistrar:
                                                    *args)
         else:
             trans, labels = self._register(self.variables, *args)
+        return ("corr", samples, bucket, trans, labels)
+
+    def fetch_batch(self, handle) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Sync on a ``dispatch_batch`` handle and unpack per-sample
+        results (the raw path also writes matched rows back into the
+        sample dicts here, so stats post-steps see host-path samples)."""
+        kind = handle[0]
+        if kind == "empty":
+            return []
+        if kind == "raw":
+            return self._fetch_batch_raw(handle)
+        _, samples, bucket, trans, labels = handle
         trans, labels = jax.device_get((trans, labels))
         out = []
         for i, s in enumerate(samples):
@@ -188,15 +211,14 @@ class PointDSCRegistrar:
             out.append((np.asarray(trans[i]), np.asarray(labels[i])[:n]))
         return out
 
-    def _register_batch_raw(self, samples: Sequence[Dict[str, np.ndarray]]
-                            ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    def _dispatch_batch_raw(self, samples: Sequence[Dict[str, np.ndarray]]):
         """Batched registration from RAW per-cloud descriptors: mutual
         1-NN matching, GT labels, and corr_pos encoding all happen inside
-        the (optionally mesh-sharded) device dispatch.
-
-        Writes the compacted matched rows back into each sample dict
-        (src_keypts/tgt_keypts/labels), so downstream solver post-steps
-        and stats see exactly what the host-matching path would produce.
+        the (optionally mesh-sharded) device dispatch. The matching
+        fetch side (``_fetch_batch_raw``) writes the compacted matched
+        rows back into each sample dict (src_keypts/tgt_keypts/labels),
+        so downstream solver post-steps and stats see exactly what the
+        host-matching path would produce.
         """
         bs, bt = self.eval_bucket(samples)
         b_real = len(samples)
@@ -232,6 +254,10 @@ class PointDSCRegistrar:
             res = self._get_raw_sharded()(self._variables_repl, *args)
         else:
             res = self._register_raw(self.variables, *args)
+        return ("raw", samples, res)
+
+    def _fetch_batch_raw(self, handle) -> List[Tuple[np.ndarray, np.ndarray]]:
+        _, samples, res = handle
         trans, pred, gt_labels, cmask, src_sel, tgt_sel = jax.device_get(res)
         out = []
         for row, s in enumerate(samples):

@@ -39,6 +39,10 @@ def main():
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard batches over an N-device 'data' mesh")
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="batched dispatches kept in flight (>1 hides the "
+                         "per-batch fetch/relay stall; every result is "
+                         "still fetched and scored)")
     ap.add_argument("--workers", type=int, default=0,
                     help="prefetch pairs with N threads (overlaps host "
                          "data prep with device dispatch; the reference "
@@ -86,7 +90,8 @@ def main():
                            device_match=args.device_match)
     stats = evaluate_pairs(register_fn, ds,
                            re_thresh=args.re_thre, te_thresh_cm=args.te_thre,
-                           batch_size=args.batch, workers=args.workers)
+                           batch_size=args.batch, workers=args.workers,
+                           inflight=args.inflight)
     agg = aggregate_scenes({"3dlomatch": stats})
     log.info(format_report(agg))
     os.makedirs(args.out, exist_ok=True)

@@ -52,6 +52,10 @@ def main():
                     help="shard each batch over an N-device 'data' mesh "
                          "(data-parallel inference; N must divide into "
                          "the available devices)")
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="batched dispatches kept in flight (>1 hides the "
+                         "per-batch fetch/relay stall; every result is "
+                         "still fetched and scored)")
     ap.add_argument("--workers", type=int, default=0,
                     help="prefetch pairs with N threads (overlaps host "
                          "data prep with device dispatch; the reference "
@@ -113,7 +117,8 @@ def main():
         stats = evaluate_pairs(register_fn, ds,
                                re_thresh=args.re_thre,
                                te_thresh_cm=args.te_thre, scene_index=si,
-                               batch_size=args.batch, workers=args.workers)
+                               batch_size=args.batch, workers=args.workers,
+                               inflight=args.inflight)
         all_stats[scene] = stats
         ok = stats[stats[:, 0] == 1]
         log.info(

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--scenes", nargs="*", default=None)
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per batched dispatch")
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="batched dispatches kept in flight (>1 hides the "
+                         "per-batch fetch/relay stall; every result is "
+                         "still fetched and scored)")
     ap.add_argument("--workers", type=int, default=0,
                     help="threaded pair prefetch")
     ap.add_argument("--device-match", action="store_true",
@@ -59,7 +63,7 @@ def main():
                                  device_match=args.device_match)
             all_stats[scene] = evaluate_pairs(
                 registrar, ds, scene_index=si, batch_size=args.batch,
-                workers=args.workers)
+                workers=args.workers, inflight=args.inflight)
         agg = aggregate_scenes(all_stats)
         log.info(f"{os.path.basename(ckpt)}: recall={agg['recall_pct']:.2f}%")
         if agg["recall_pct"] > best[1]:

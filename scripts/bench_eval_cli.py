@@ -126,6 +126,7 @@ def main():
     ap.add_argument("--device-match", action="store_true",
                     help="on-device correspondence building (removes the "
                          "host mutual-1-NN bottleneck)")
+    ap.add_argument("--inflight", type=int, default=1)
     ap.add_argument("--workers", type=int, default=0,
                     help="threaded pair prefetch in the harness")
     ap.add_argument("--cpu", action="store_true")
@@ -171,6 +172,8 @@ def main():
         argv += ["--device-match"]
     if args.workers:
         argv += ["--workers", str(args.workers)]
+    if args.inflight > 1:
+        argv += ["--inflight", str(args.inflight)]
     sys.argv = argv
     t0 = time.perf_counter()
     test_3dmatch.main()

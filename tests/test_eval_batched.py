@@ -174,3 +174,46 @@ def test_workers_prefetch_matches_serial(setup):
                            scene_index=3, workers=3, batch_size=4)
     assert_rows_match(pre, serial)
     assert_rows_match(pre_b, serial)
+
+
+def test_inflight_pipeline_matches_serial(setup):
+    """inflight>1 (dispatch_batch/fetch_batch split) must change only the
+    timing columns — every batch is still fetched and scored in order."""
+    model, variables, pairs = setup
+    reg = PointDSCRegistrar(model, variables, buckets=(256, 1000))
+    fn = make_register_fn(reg)
+    serial = _rows(fn, pairs, batch_size=4)
+    for depth in (2, 3):
+        piped = _rows(fn, pairs, batch_size=4, inflight=depth)
+        assert_rows_match(piped, serial)
+
+
+def test_inflight_pipeline_raw_path(setup):
+    """Pipelined raw-descriptor batches: the sample writeback must land
+    before scoring (fetch side), rows identical to unpipelined raw."""
+    model, variables, _ = setup
+    rng = np.random.RandomState(5)
+
+    def raw_pair(seed):
+        r = np.random.RandomState(seed)
+        p = make_eval_pair(r, 120)
+        # descriptors that make mutual 1-NN mostly recover the GT pairing
+        d = r.randn(120, 16).astype(np.float32)
+        return {
+            "src_keypts": p["src_keypts"], "tgt_keypts": p["tgt_keypts"],
+            "src_desc": d + 0.05 * r.randn(120, 16).astype(np.float32),
+            "tgt_desc": d + 0.05 * r.randn(120, 16).astype(np.float32),
+            "gt_trans": p["gt_trans"], "p_image": p["p_image"],
+            "q_image": p["q_image"],
+        }
+
+    reg = PointDSCRegistrar(model, variables, buckets=(256, 1000))
+    fn = make_register_fn(reg)
+    pairs_a = [raw_pair(200 + i) for i in range(5)]
+    pairs_b = [raw_pair(200 + i) for i in range(5)]
+    base = _rows(fn, pairs_a, batch_size=3)
+    piped = _rows(fn, pairs_b, batch_size=3, inflight=2)
+    assert_rows_match(piped, base)
+    # writeback happened on both (samples gained matched rows + labels)
+    for s in pairs_a + pairs_b:
+        assert "labels" in s and len(s["src_keypts"]) == len(s["labels"])
