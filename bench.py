@@ -88,6 +88,10 @@ def main():
                          "default: on for TPU eval, off for CPU/train)")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture one warm jax.profiler trace of the "
+                         "registration dispatch into DIR (XProf/"
+                         "TensorBoard Profile tab) before timing")
     ap.add_argument("--pipelined", type=int, default=0, metavar="K",
                     help="keep K calls in flight (serving throughput; "
                          "hides this machine's ~50 ms relay latency)")
@@ -244,8 +248,6 @@ def main():
             T, labels = register(*fargs)
             np.asarray(T)
         except Exception as e:  # pragma: no cover
-            import sys
-
             print(f"fused path failed ({type(e).__name__}); "
                   "falling back to dense", file=sys.stderr)
             model = model.clone(fused_attention=False)
@@ -258,6 +260,15 @@ def main():
     for _ in range(args.warmup):
         T, labels = register(*fargs)
         np.asarray(T)
+
+    if args.trace:
+        from gmf_tpu.utils.profiling import trace as profiler_trace
+
+        with profiler_trace(args.trace, annotate="bench_register"):
+            T, labels = register(*fargs)
+            np.asarray(T)
+        print(f"trace written to {args.trace} "
+              "(tensorboard --logdir, Profile tab)", file=sys.stderr)
 
     t0 = time.perf_counter()
     if args.pipelined > 1:
