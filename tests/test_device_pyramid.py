@@ -52,3 +52,30 @@ def test_pyramid_6d_degenerate_multiplicity(rng):
     for k in sorted(host):
         np.testing.assert_array_equal(
             np.asarray(dev[k]), np.asarray(host[k]), err_msg=k)
+
+
+def test_srcdense_probe_engages(rng, monkeypatch):
+    """Gate regression guard: on a small-frame low-multiplicity 6-D
+    input the direct-address src-dense probe must actually be CHOSEN
+    (bit-equality alone stays green if every probe silently falls back
+    to the 50x sorted join)."""
+    import gmf_tpu.sparse.device_maps as dm
+
+    calls = {"n": 0}
+    real = dm.device_kernel_map_srcdense
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dm, "device_kernel_map_srcdense", counting)
+    coords = np.unique(
+        rng.randint(0, 8, (400, 6)).astype(np.int32), axis=0)
+    host = pyramid_to_arrays(build_pyramid(
+        coords, 4, conv1_kernel_size=3, granule=128))
+    dev = build_pyramid_arrays_device(
+        coords, 4, conv1_kernel_size=3, granule=128)
+    assert calls["n"] > 0, "src-dense probe never engaged"
+    for k in sorted(host):
+        np.testing.assert_array_equal(
+            np.asarray(dev[k]), np.asarray(host[k]), err_msg=k)
