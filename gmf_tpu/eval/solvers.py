@@ -69,4 +69,19 @@ def make_register_fn(registrar: Callable, solver: str = "SVD",
         register.register_batch = register_batch
         register.eval_bucket = registrar.eval_bucket
 
+    if hasattr(registrar, "dispatch_batch"):
+        # forward the async split so the harness's inflight pipeline can
+        # keep dispatches pending; solver/ICP post-steps run at fetch time
+        def dispatch_batch(pairs):
+            pairs = list(pairs)
+            return (pairs, registrar.dispatch_batch(pairs))
+
+        def fetch_batch(handle):
+            pairs, h = handle
+            results = registrar.fetch_batch(h)
+            return [_post(p, t, l) for p, (t, l) in zip(pairs, results)]
+
+        register.dispatch_batch = dispatch_batch
+        register.fetch_batch = fetch_batch
+
     return register

@@ -178,13 +178,27 @@ def test_workers_prefetch_matches_serial(setup):
 
 def test_inflight_pipeline_matches_serial(setup):
     """inflight>1 (dispatch_batch/fetch_batch split) must change only the
-    timing columns — every batch is still fetched and scored in order."""
+    timing columns — every batch is still fetched and scored in order.
+    Also PINS that the pipeline actually engages (the harness silently
+    falls back when the register_fn lacks the async split — a vacuous
+    pass otherwise)."""
     model, variables, pairs = setup
     reg = PointDSCRegistrar(model, variables, buckets=(256, 1000))
     fn = make_register_fn(reg)
+    assert hasattr(fn, "dispatch_batch") and hasattr(fn, "fetch_batch")
     serial = _rows(fn, pairs, batch_size=4)
+    calls = {"n": 0}
+    real_dispatch = fn.dispatch_batch
+
+    def counting(pairs_):
+        calls["n"] += 1
+        return real_dispatch(pairs_)
+
+    fn.dispatch_batch = counting
     for depth in (2, 3):
+        calls["n"] = 0
         piped = _rows(fn, pairs, batch_size=4, inflight=depth)
+        assert calls["n"] > 0, "pipeline never engaged"
         assert_rows_match(piped, serial)
 
 
