@@ -86,7 +86,7 @@ def test_eval_3dmatch_cli_batched_mesh(fixture_tree, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "test_3dmatch", "--root", root, "--checkpoint", ckpt,
         "--num-node", "all", "--scenes", scene, "--out", out_dir,
-        "--batch", "4", "--mesh", "8",
+        "--batch", "4", "--mesh", "8", "--inflight", "2",
     ])
     test_3dmatch.main()
     stats = np.load(os.path.join(out_dir, "all_stats.npy"))
