@@ -44,11 +44,15 @@ def _wait_for_tpu(max_wait: float = None) -> bool:
         max_wait = float(os.environ.get("GMF_BENCH_TPU_WAIT", "600"))
     deadline = time.time() + max_wait
     while True:
+        # each probe is bounded by the remaining budget, so a small
+        # GMF_BENCH_TPU_WAIT is honored (the child hangs in jax.devices()
+        # on a dead tunnel and only dies by this timeout)
+        probe_timeout = max(10.0, min(240.0, deadline - time.time()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; jax.devices(); print('TPU_OK')"],
-                capture_output=True, text=True, timeout=240)
+                capture_output=True, text=True, timeout=probe_timeout)
             if "TPU_OK" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:

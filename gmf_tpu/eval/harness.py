@@ -177,6 +177,13 @@ def evaluate_pairs(register_fn: Callable, pairs: Iterable[Dict],
         return _evaluate_pairs_batched(register_fn, pairs, re_thresh,
                                        te_thresh_cm, scene_index,
                                        batch_size, workers, inflight)
+    if inflight > 1:
+        import warnings
+
+        warnings.warn(
+            f"inflight={inflight} has no effect without batch_size > 1 "
+            "and a batch-capable register_fn — running the serial path",
+            stacklevel=2)
 
     rows: List[np.ndarray] = []
     for pair, data_time in _iter_with_data_time(pairs, workers):

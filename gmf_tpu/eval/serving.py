@@ -29,7 +29,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -53,6 +53,7 @@ class RegistrationService:
         self.inflight = max(1, int(inflight))
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()  # serializes submit vs close
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -60,20 +61,26 @@ class RegistrationService:
 
     def submit(self, sample: Dict[str, np.ndarray]) -> "Future":
         """Enqueue one pair; the Future resolves to (trans, labels)."""
-        if self._stop.is_set():
-            raise RuntimeError("service is closed")
-        fut: Future = Future()
-        self._q.put((sample, fut, time.perf_counter()))
+        with self._submit_lock:
+            # under the lock, the shutdown sentinel cannot slip between
+            # the check and the put — nothing lands after it unprocessed
+            if self._stop.is_set():
+                raise RuntimeError("service is closed")
+            fut: Future = Future()
+            self._q.put((sample, fut, time.perf_counter()))
         return fut
 
     def register(self, sample: Dict[str, np.ndarray]):
         """Blocking convenience: submit + wait."""
         return self.submit(sample).result()
 
-    def warmup(self, buckets: Sequence[int], batch: Optional[int] = None,
-               image_hw=(120, 160)) -> None:
-        """Precompile the (bucket, batch) executables with dummy pairs."""
-        b = batch or self.max_batch
+    def warmup(self, buckets: Sequence[int], image_hw=(120, 160)) -> None:
+        """Precompile each bucket's executable with dummy pairs.
+
+        Always compiles at batch == max_batch — dispatch() pads every
+        flush to exactly that shape, so this is the one executable real
+        traffic uses per bucket."""
+        b = self.max_batch
         for n in buckets:
             rng = np.random.RandomState(0)
             src = rng.rand(n, 3).astype(np.float32)
@@ -89,8 +96,9 @@ class RegistrationService:
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain pending work and stop the collector thread."""
-        self._stop.set()
-        self._q.put(None)  # wake the collector
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)  # wake the collector; last item ever queued
         self._thread.join(timeout=timeout)
 
     def __enter__(self):
@@ -138,35 +146,73 @@ class RegistrationService:
             for (_, fut, _), res in zip(group, results):
                 fut.set_result(res)
 
-        while True:
-            # deadline of the oldest queued request across groups
-            now = time.perf_counter()
-            deadline = min((g[0][2] + self.max_wait
-                            for g in groups.values() if g),
-                           default=None)
-            timeout = (max(1e-4, deadline - now) if deadline is not None
-                       else (0.05 if pending else None))
+        def enqueue(item) -> None:
+            sample, fut, t = item
             try:
-                item = self._q.get(timeout=timeout)
-            except queue.Empty:
-                item = False  # timeout tick
-            if item is None and self._stop.is_set():
-                for b in list(groups):
-                    dispatch(b)
-                while pending:
-                    fetch_one()
-                return
-            if item:
-                sample, fut, t = item
                 b = reg.eval_bucket([sample])
-                groups.setdefault(b, []).append((sample, fut, t))
-                if len(groups[b]) >= self.max_batch:
-                    dispatch(b)
-            # flush any group past its latency deadline
-            now = time.perf_counter()
-            for b in [b for b, g in groups.items()
-                      if g and now - g[0][2] >= self.max_wait]:
+            except Exception as e:  # malformed sample: fail ITS future
+                fut.set_exception(e)
+                return
+            groups.setdefault(b, []).append((sample, fut, t))
+            if len(groups[b]) >= self.max_batch:
                 dispatch(b)
-            # idle: drain one pending fetch so results don't sit forever
-            if not item and pending:
+
+        def drain_and_exit():
+            # close() raced with late submit()s: anything enqueued after
+            # the sentinel still gets processed, nothing hangs
+            while True:
+                try:
+                    late = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if late is not None:
+                    enqueue(late)
+            for b in list(groups):
+                dispatch(b)
+            while pending:
                 fetch_one()
+
+        try:
+            while True:
+                # deadline of the oldest queued request across groups
+                now = time.perf_counter()
+                deadline = min((g[0][2] + self.max_wait
+                                for g in groups.values() if g),
+                               default=None)
+                timeout = (max(1e-4, deadline - now) if deadline is not None
+                           else (0.05 if pending else None))
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    item = False  # timeout tick
+                if item is None and self._stop.is_set():
+                    drain_and_exit()
+                    return
+                if item:
+                    enqueue(item)
+                # flush any group past its latency deadline
+                now = time.perf_counter()
+                for b in [b for b, g in groups.items()
+                          if g and now - g[0][2] >= self.max_wait]:
+                    dispatch(b)
+                # idle: drain one pending fetch so results don't sit forever
+                if not item and pending:
+                    fetch_one()
+        except BaseException as e:  # collector must never die silently
+            self._stop.set()
+            for g in groups.values():
+                for _, fut, _ in g:
+                    if not fut.done():
+                        fut.set_exception(e)
+            for group, _ in pending:
+                for _, fut, _ in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+            while True:
+                try:
+                    late = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if late is not None and not late[1].done():
+                    late[1].set_exception(e)
+            raise

@@ -291,14 +291,19 @@ def main():
     if args.model == "pointdsc":
         n = args.num_layers or 12
         variables = convert_pointdsc(sd, num_layers=n)
+        # encoder.layer0 Dense kernel is [in_dim, num_channels]
+        num_channels = int(np.asarray(
+            variables["params"]["encoder"]["layer0"]["kernel"]).shape[-1])
+        cfg = {"converted_from": args.input, "arch": "pointdsc",
+               "model": {"num_layers": n, "num_channels": num_channels}}
     else:
         n = args.num_layers or 6
         variables = convert_oanet(sd, num_layers=n)
-    # the embedded model config is what load_pointdsc reconstructs from
-    save_checkpoint(args.out, variables,
-                    config={"converted_from": args.input,
-                            "arch": args.model,
-                            "model": {"num_layers": n}})
+        # 'arch' guards load_pointdsc from misreading this as a PointDSC
+        # checkpoint; OANet loads via convert_oanet + OANet(...) directly
+        cfg = {"converted_from": args.input, "arch": "oanet",
+               "model": {"arch": "oanet", "num_layers": n}}
+    save_checkpoint(args.out, variables, config=cfg)
     print(f"converted {args.input} -> {args.out}")
 
 

@@ -26,6 +26,13 @@ def load_pointdsc(path: str, inlier_threshold: float = 0.10,
         from gmf_tpu.utils.checkpoint import load_checkpoint
 
         state, config = load_checkpoint(path)
+        arch = (config or {}).get("arch") or (
+            (config or {}).get("model") or {}).get("arch")
+        if arch not in (None, "pointdsc", "PointDSC"):
+            raise ValueError(
+                f"checkpoint at {path} holds arch={arch!r}, not a "
+                "PointDSC state — load it with its own converter "
+                "(e.g. OANet via convert_torch.convert_oanet)")
         valid = {f for f in PointDSC.__dataclass_fields__
                  if f not in ("parent", "name", "dtype")}
         if config and "model" in config:

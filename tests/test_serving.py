@@ -86,3 +86,18 @@ def test_service_rejects_after_close(service_setup):
     svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(make_eval_pair(np.random.RandomState(0), N=100))
+
+
+def test_service_malformed_sample_fails_its_future_only(service_setup):
+    """A bad sample must fail ITS future; the collector survives and
+    keeps serving good requests."""
+    registrar = service_setup
+    with RegistrationService(registrar, max_batch=4,
+                             max_wait_ms=15.0) as svc:
+        bad = svc.submit({"not_a_sample": 1})
+        good_pair = make_eval_pair(np.random.RandomState(7), N=150)
+        good = svc.submit(good_pair)
+        with pytest.raises(Exception):
+            bad.result(timeout=60)
+        trans, labels = good.result(timeout=120)
+        assert np.all(np.isfinite(np.asarray(trans)))
