@@ -101,3 +101,25 @@ def test_service_malformed_sample_fails_its_future_only(service_setup):
             bad.result(timeout=60)
         trans, labels = good.result(timeout=120)
         assert np.all(np.isfinite(np.asarray(trans)))
+
+
+def test_service_mesh_sharded(service_setup):
+    """Serving over the 8-virtual-device DP mesh: coalesced dispatches
+    shard on the data axis; results match the unsharded service."""
+    from gmf_tpu.parallel.mesh import make_mesh
+
+    registrar = service_setup
+    mesh_reg = PointDSCRegistrar(
+        registrar.model, registrar.variables, buckets=(256, 1000),
+        mesh=make_mesh(n_data=8))
+    pairs = [make_eval_pair(np.random.RandomState(700 + i), N=150)
+             for i in range(8)]
+    direct = [registrar(dict(p)) for p in pairs]
+    with RegistrationService(mesh_reg, max_batch=8,
+                             max_wait_ms=20.0) as svc:
+        futs = [svc.submit(dict(p)) for p in pairs]
+        got = [f.result(timeout=180) for f in futs]
+    for (dt, dl), (st, sl) in zip(direct, got):
+        np.testing.assert_allclose(np.asarray(st), np.asarray(dt),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(sl), np.asarray(dl))
