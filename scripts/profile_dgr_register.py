@@ -36,6 +36,11 @@ def main():
                     choices=["on", "off"],
                     help="force compact_inlier_conv (default: follow "
                          "DGRConfig auto = device-maps setting)")
+    ap.add_argument("--split-e", action="store_true",
+                    help="insert an extra sync after the inlier-net "
+                         "logits so phase E decomposes into E1 (net "
+                         "apply) and E2 (fused solve). Adds one relay "
+                         "round trip, so total is slightly pessimistic.")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +161,10 @@ def main():
         logits = eng._inlier_apply(eng.inlier_vars, feats, arrays,
                                    jnp.asarray(p_img), jnp.asarray(q_img))
         uniq_logits = logits[:, 0]
+        tE1 = None
+        if args.split_e:
+            jax.device_get(uniq_logits[:1])   # sync: net execution done
+            tE1 = time.perf_counter()
         n = len(pts0)
         cap = _pad_cap(n, cfg.corr_cap_granule)
         inv_pad = np.zeros(cap, np.int32)
@@ -173,10 +182,12 @@ def main():
         T, wsum, w = jax.device_get((T_dev, wsum_dev, w_dev))
         tE = time.perf_counter()
 
+        e_split = ("" if tE1 is None else
+                   f" [E1 net {tE1 - tD:5.2f} | E2 solve {tE - tE1:5.2f}]")
         print(f"run {run}: total {tE - t0:6.2f} s | "
               f"A vox {tA - t0:5.2f} | B front {tB - tA:5.2f} | "
               f"C uniq {tC - tB:5.2f} | D 6Dpyr {tD - tC:5.2f} | "
-              f"E net+solve {tE - tD:5.2f}  "
+              f"E net+solve {tE - tD:5.2f}{e_split}  "
               f"(voxels {len(coords0)}, uniq6d {len(uniq)})")
 
 
