@@ -186,6 +186,9 @@ class DGRConfig:
     # gathers only the hit columns of each kernel map (~5% occupancy)
     # instead of K' x M dense rows. None = follow use_device_maps().
     compact_inlier_conv: Optional[bool] = None
+    # Dense-tier threshold for the compacted conv (sparse/compact.py
+    # plan_tiles): offsets with >= frac * M hits keep dense rows.
+    compact_dense_frac: float = 0.5
 
     def use_device_maps(self) -> bool:
         if self.device_kernel_maps is not None:
@@ -299,7 +302,8 @@ class DeepGlobalRegistration:
             return build_pyramid_arrays_device(
                 coords, num_levels=4, conv1_kernel_size=conv1_kernel_size,
                 granule=granule,
-                compact_conv=self.config.use_compact_conv())
+                compact_conv=self.config.use_compact_conv(),
+                compact_dense_frac=self.config.compact_dense_frac)
         pyr = build_pyramid(coords, num_levels=4,
                             conv1_kernel_size=conv1_kernel_size,
                             granule=granule)

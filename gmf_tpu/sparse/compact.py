@@ -59,13 +59,19 @@ def _pow2_bucket(x: int, lo: int = SEG_GRANULE) -> int:
     return b
 
 
-def plan_tiles(counts: np.ndarray, m: int, tile: int = TILE
+def plan_tiles(counts: np.ndarray, m: int, tile: int = TILE,
+               dense_frac: float = 0.5
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Partition active offsets into a dense tier + fixed-width tiles.
 
     Args:
       counts: [K] per-offset hit counts (host ints).
       m: output width of the map (cap_out).
+      dense_frac: offsets with count >= dense_frac * m stay dense. A
+        dense row costs one gathered row; a compact row costs a gather
+        PLUS a scatter-add touch, and TPU scatters run slower than
+        gathers, so the break-even sits below 0.5 (tuned on-chip via
+        scripts/profile_inlier_convs.py --dense-frac).
 
     Returns (dense_ids [Kd], compact_ids [Kc], tiles_per_id [Kc]) — ids
     index the ORIGINAL offset axis, count-descending.
@@ -75,7 +81,7 @@ def plan_tiles(counts: np.ndarray, m: int, tile: int = TILE
     order = np.argsort(-counts[ids], kind="stable")
     ids = ids[order].astype(np.int32)
     c = counts[ids]
-    dense = 2 * c >= m
+    dense = c >= dense_frac * m
     return (ids[dense], ids[~dense],
             (-(-c[~dense] // tile)).astype(np.int32))
 
@@ -215,7 +221,8 @@ def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
 
 def build_compact_schedule(nbr, counts: np.ndarray, cap_in: int,
                            cap_out: int, tile: int = TILE,
-                           with_transpose: bool = False):
+                           with_transpose: bool = False,
+                           dense_frac: float = 0.5):
     """Build the two-tier schedule for one dense map.
 
     Args:
@@ -232,7 +239,8 @@ def build_compact_schedule(nbr, counts: np.ndarray, cap_in: int,
     """
     nbr = jnp.asarray(nbr)
     dense_ids, compact_ids, tiles_per = plan_tiles(counts, int(cap_out),
-                                                   tile=tile)
+                                                   tile=tile,
+                                                   dense_frac=dense_frac)
     kd, kc, nt = len(dense_ids), len(compact_ids), int(tiles_per.sum())
     kd_pad = _pow2_bucket(kd) if kd else 0
     kc_pad = _pow2_bucket(kc) if kc else 0

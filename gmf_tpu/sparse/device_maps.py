@@ -732,7 +732,7 @@ def build_pyramid_arrays_device(
         coords: np.ndarray, num_levels: int, conv1_kernel_size: int = 3,
         dim: Optional[int] = None, region: str = "hypercube",
         granule: int = 512, caps: Optional[Sequence[int]] = None,
-        compact_conv: bool = False,
+        compact_conv: bool = False, compact_dense_frac: float = 0.5,
 ) -> Dict[str, jnp.ndarray]:
     """Build the jittable pyramid dict with all kernel maps ON DEVICE.
 
@@ -961,12 +961,13 @@ def build_pyramid_arrays_device(
             _, nbr = nbr_by[f"self_{l}"]
             arrays[f"self_cmp_{l}"] = build_compact_schedule(
                 nbr, counts[f"self_{l}"], cap_in=cap_l[l],
-                cap_out=cap_l[l])
+                cap_out=cap_l[l], dense_frac=compact_dense_frac)
             if l + 1 < num_levels:
                 _, nbr = nbr_by[f"down_{l}"]
                 down, up = build_compact_schedule(
                     nbr, counts[f"down_{l}"], cap_in=cap_l[l],
-                    cap_out=cap_l[l + 1], with_transpose=True)
+                    cap_out=cap_l[l + 1], with_transpose=True,
+                    dense_frac=compact_dense_frac)
                 arrays[f"down_cmp_{l}"] = down
                 arrays[f"up_cmp_{l}"] = up
         if conv1_kernel_size == 3:
@@ -974,7 +975,8 @@ def build_pyramid_arrays_device(
         else:
             _, nbr = nbr_by["conv1"]
             arrays["conv1_cmp"] = build_compact_schedule(
-                nbr, counts["conv1"], cap_in=cap_l[0], cap_out=cap_l[0])
+                nbr, counts["conv1"], cap_in=cap_l[0], cap_out=cap_l[0],
+                dense_frac=compact_dense_frac)
         return arrays
 
     pruned = {

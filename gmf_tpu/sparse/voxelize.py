@@ -31,11 +31,28 @@ def sparse_quantize(coords: np.ndarray, voxel_size: float = 1.0,
         grid = np.floor(coords / voxel_size).astype(np.int32)
     else:
         grid = np.floor(coords).astype(np.int32)
-    # np.unique(axis=0) sorts lexicographically; 'index' recovers the
-    # first occurrence, matching ME's deterministic first-point selection.
-    uniq, first_idx, inverse = np.unique(
-        grid, axis=0, return_index=True, return_inverse=True
-    )
+    # Lexicographic row-unique. np.unique(axis=0) compares rows as void
+    # scalars (~86 ms at 40k x 3); packing rows into one int64 key sorts
+    # 3x faster with identical order/first-occurrence semantics whenever
+    # the per-dim extents fit 63 bits (voxel grids always do in practice;
+    # the void path remains as the exact fallback).
+    uniq = first_idx = inverse = None
+    if len(grid):
+        lo = grid.min(axis=0).astype(np.int64)
+        shifted = grid.astype(np.int64) - lo
+        extent = shifted.max(axis=0) + 1
+        bits = int(np.sum(np.ceil(np.log2(np.maximum(extent, 2)))))
+        if bits < 63:
+            key = shifted[:, 0]
+            for d in range(1, grid.shape[1]):
+                key = key * extent[d] + shifted[:, d]
+            _, first_idx, inverse = np.unique(
+                key, return_index=True, return_inverse=True)
+            uniq = grid[first_idx]
+    if uniq is None:
+        uniq, first_idx, inverse = np.unique(
+            grid, axis=0, return_index=True, return_inverse=True
+        )
     out = [uniq.astype(np.int32)]
     if return_index:
         out.append(first_idx)

@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scatter-mode", choices=["flat", "rowwise"],
                     default="flat")
+    ap.add_argument("--dense-frac", type=float, default=0.5,
+                    help="plan_tiles dense-tier threshold (fraction of "
+                         "M above which an offset stays dense)")
+    ap.add_argument("--full", action="store_true",
+                    help="also init the real GMFInlierNet and time the "
+                         "whole apply (reconciles sum-of-convs vs E1: "
+                         "the remainder is image encoder + fusion + BN "
+                         "+ 1x1 heads + XLA overhead)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +95,8 @@ def main():
     t0 = time.perf_counter()
     arrays = build_pyramid_arrays_device(
         uniq.astype(np.int32), 4, conv1_kernel_size=3,
-        granule=cfg.corr_cap_granule, compact_conv=True)
+        granule=cfg.corr_cap_granule, compact_conv=True,
+        compact_dense_frac=args.dense_frac)
     # settle: fetch one leaf of each schedule
     for k, v in arrays.items():
         for leaf in jax.tree_util.tree_leaves(v):
@@ -152,6 +161,32 @@ def main():
               f"{ms * mult:7.1f}")
     print(f"{'sum of convs':18s} {'':9s} {'':6s} {'':8s} {'':2s} "
           f"{total:7.1f}")
+
+    if args.full:
+        from gmf_tpu.sparse.resunet import GMFInlierNet
+
+        net = GMFInlierNet(dtype=dt)
+        H, W = cfg.image_hw
+        p_img = jnp.zeros((1, H, W, 3), jnp.float32)
+        q_img = jnp.zeros((1, H, W, 3), jnp.float32)
+        feats = jnp.ones((caps[0], 1), jnp.float32)
+        variables = jax.jit(net.init)(jax.random.PRNGKey(1), feats,
+                                      arrays, p_image=p_img, q_image=q_img)
+
+        @jax.jit
+        def apply(v, f, a, p, q):
+            return net.apply(v, f, a, p_image=p, q_image=q)
+
+        out = apply(variables, feats, arrays, p_img, q_img)
+        np.asarray(out[:1, :1])
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = apply(variables, feats, arrays, p_img, q_img)
+        np.asarray(out[:1, :1])
+        ms = (time.perf_counter() - t0) / args.reps * 1e3
+        print(f"{'FULL net apply':18s} {'':9s} {'':6s} {'':8s} {'':2s} "
+              f"{ms:7.1f}   (minus convs: {ms - total:.1f} ms = image "
+              f"encoder + fusion + BN + heads + overhead)")
 
 
 if __name__ == "__main__":

@@ -23,6 +23,34 @@ class TestVoxelize:
         assert coords.shape == (2, 3)
         assert set(map(tuple, coords)) == {(0, 0, 0), (2, 0, 0)}
 
+    def test_packed_key_path_matches_void_unique(self, rng):
+        """The fast int64-packed row-unique must be bit-identical to
+        np.unique(axis=0) — order, first-occurrence indices, inverse —
+        including negatives, duplicates, 6-D rows, and the huge-extent
+        fallback."""
+        for trial in range(12):
+            d = int(rng.choice([3, 6]))
+            n = int(rng.randint(0, 3000))
+            x = (rng.randn(n, d) * rng.choice([5, 500])).astype(np.float64)
+            g = np.floor(x / 0.05).astype(np.int32)
+            ref = np.unique(g, axis=0, return_index=True,
+                            return_inverse=True)
+            got = sparse_quantize(x, 0.05, return_index=True,
+                                  return_inverse=True)
+            assert np.array_equal(got[0], ref[0].astype(np.int32))
+            assert np.array_equal(got[1], ref[1])
+            assert np.array_equal(got[2], ref[2])
+        # extents overflowing 63 bits take the exact void fallback
+        x = np.array([[0, 0, 0], [2 ** 30, 2 ** 30, 2 ** 30],
+                      [-2 ** 30, 5, -2 ** 30], [0, 0, 0]], np.float64)
+        ref = np.unique(np.floor(x).astype(np.int32), axis=0,
+                        return_index=True, return_inverse=True)
+        got = sparse_quantize(x, 1.0, return_index=True,
+                              return_inverse=True)
+        assert np.array_equal(got[0], ref[0].astype(np.int32))
+        assert np.array_equal(got[1], ref[1])
+        assert np.array_equal(got[2], ref[2])
+
 
 class TestOffsets:
     def test_hypercube_counts(self):
