@@ -52,6 +52,9 @@ def main():
                     help="KITTI preset: voxel 0.3, FCGF conv1=5 "
                          "(config_Kitti.py:49,97), 120k-point lidar-scale "
                          "cloud (scripts/test_kitti.py protocol)")
+    ap.add_argument("--compact", default=None, choices=["on", "off"],
+                    help="force compact_inlier_conv (default: DGRConfig "
+                         "auto)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 sparse-net compute (halves the conv "
                          "gather HBM traffic; geometry stays f32)")
@@ -78,13 +81,15 @@ def main():
 
     print(f"backend: {jax.default_backend()}")
     dev_maps = {"auto": None, "on": True, "off": False}[args.device_maps]
+    cmp_conv = (None if args.compact is None else args.compact == "on")
 
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.tiny:
         args.pts = 2000
         cfg = DGRConfig(voxel_size=0.1, voxel_cap_granule=512,
                         corr_cap_granule=512, image_hw=(16, 16),
-                        device_kernel_maps=dev_maps)
+                        device_kernel_maps=dev_maps,
+                        compact_inlier_conv=cmp_conv)
         fcgf = SparseResUNet2(
             in_channels=1, out_channels=8, dim=3, conv1_kernel_size=7,
             normalize_feature=True, channels=(4, 8, 16, 32),
@@ -97,11 +102,13 @@ def main():
         # KITTI deltas (config_Kitti.py:49,97): voxel 0.3, feat conv1=5
         if args.pts == 40000:
             args.pts = 120000
-        cfg = DGRConfig(voxel_size=0.3, device_kernel_maps=dev_maps)
+        cfg = DGRConfig(voxel_size=0.3, device_kernel_maps=dev_maps,
+                        compact_inlier_conv=cmp_conv)
         fcgf = FCGFNet(conv1_kernel_size=5, dtype=dt)
         inlier = GMFInlierNet(dtype=dt)
     else:
-        cfg = DGRConfig(device_kernel_maps=dev_maps)
+        cfg = DGRConfig(device_kernel_maps=dev_maps,
+                        compact_inlier_conv=cmp_conv)
         fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)
         inlier = GMFInlierNet(dtype=dt)
     H, W = cfg.image_hw

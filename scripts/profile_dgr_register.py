@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cloud", choices=["uniform", "surface"],
                     default="uniform")
+    ap.add_argument("--matches", choices=["fcgf", "oracle"],
+                    default="fcgf",
+                    help="oracle: keep the FCGF + 1-NN dispatches (their "
+                         "cost is real) but feed GT-correlated indices to "
+                         "the 6-D stages — the kernel-map workload a "
+                         "TRAINED descriptor yields (bench_dgr_e2e's "
+                         "--matches oracle, phase-resolved)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 net compute (DGRConfig.net_dtype)")
@@ -102,6 +109,17 @@ def main():
     eng = DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
                                  inlier_model=inlier)
 
+    oracle_idx = None
+    if args.matches == "oracle":
+        from scipy.spatial import cKDTree
+
+        _, s0 = sparse_quantize(xyz0, cfg.voxel_size, return_index=True)
+        c1_o, s1 = sparse_quantize(xyz1, cfg.voxel_size,
+                                   return_index=True)
+        warped = (xyz0[s0] @ R.T + t) / cfg.voxel_size
+        oracle_idx = cKDTree(c1_o.astype(np.float64)).query(
+            warped)[1].astype(np.int32)
+
     print(f"backend: {jax.default_backend()}  "
           f"device_maps: {cfg.use_device_maps()}")
     t0 = time.perf_counter()
@@ -123,6 +141,8 @@ def main():
         idx_dev, _ = nearest_neighbor(F0_dev, F1_masked, chunk=cfg.nn_chunk)
         nn01 = np.asarray(idx_dev)[: len(coords0)]
         tB = time.perf_counter()
+        if oracle_idx is not None:
+            nn01 = oracle_idx
 
         corr6d = np.concatenate([coords0, coords1[nn01]], axis=1)
         uniq, first_idx, inverse = sparse_quantize(
