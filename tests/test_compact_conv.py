@@ -50,6 +50,26 @@ class TestScheduleExactness:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)
 
+    def test_dense_frac_invariance(self, rng):
+        """The dense-tier threshold is a pure performance knob: any
+        dense_frac must produce the same conv output (0.0 = every active
+        offset dense, 9.9 = everything tiled)."""
+        K, M, cap_in, Cin, Cout = 27, 96, 80, 8, 16
+        nbr = _random_map(rng, K, M, cap_in, density=0.5)
+        counts = (nbr != cap_in).sum(axis=1)
+        x = jnp.asarray(
+            np.r_[rng.randn(cap_in, Cin), np.zeros((1, Cin))],
+            jnp.float32)
+        w = jnp.asarray(rng.randn(K, Cin, Cout), jnp.float32)
+        ref = sparse_conv(x, w, jnp.asarray(nbr))
+        for frac in (0.0, 0.25, 0.5, 9.9):
+            sched = build_compact_schedule(
+                jnp.asarray(nbr), counts, cap_in=cap_in, cap_out=M,
+                dense_frac=frac)
+            got = sparse_conv_compact(x, w, sched, out_rows=M)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, err_msg=f"frac={frac}")
+
     def test_transpose_matches_dense_up(self, rng):
         """Up conv from the transposed schedule == dense conv on the
         inversion-scattered up map — for BOTH the fused
