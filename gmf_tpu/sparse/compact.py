@@ -86,12 +86,10 @@ def plan_tiles(counts: np.ndarray, m: int, tile: int = TILE,
             (-(-c[~dense] // tile)).astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=(
-    "kd_pad", "kc_pad", "nt_pad", "tile", "cap_in", "cap_out", "with_up"))
-def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
-                 nt_pad: int, tile: int, cap_in: int, cap_out: int,
-                 with_up: bool):
-    """Whole-map compaction in ONE dispatch.
+def _compact_map_body(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
+                      nt_pad: int, tile: int, cap_in: int, cap_out: int,
+                      with_up: bool):
+    """Whole-map compaction (trace-level body; see _compact_map).
 
     Args:
       nbr: [K, M] dense neighbor table, sentinel = cap_in.
@@ -219,6 +217,96 @@ def _compact_map(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
     return dense_rows, dense_kept, up_dense, in_idx, out_idx, tile_kept
 
 
+_compact_map = partial(jax.jit, static_argnames=(
+    "kd_pad", "kc_pad", "nt_pad", "tile", "cap_in", "cap_out",
+    "with_up"))(_compact_map_body)
+
+
+@partial(jax.jit, static_argnames=("cfgs",))
+def _compact_maps_fused(nbrs, ids_l, sizes_l, base_l, cfgs):
+    """All maps' compactions in ONE dispatch.
+
+    A per-map _compact_map dispatch pays the host->relay dispatch latency
+    once per map (~8 maps per 6-D pyramid) and forces the device to run
+    them as separate executables; fusing them into a single jit removes
+    that overhead and lets XLA schedule the whole batch. ``cfgs`` is a
+    hashable tuple of per-map static configs (kd_pad, kc_pad, nt_pad,
+    tile, cap_in, cap_out, with_up).
+    """
+    return tuple(
+        _compact_map_body(nbrs[i], ids_l[i], sizes_l[i], base_l[i], *cfg)
+        for i, cfg in enumerate(cfgs))
+
+
+def _plan(counts, cap_out: int, tile: int, dense_frac: float):
+    """Host-side schedule plan from per-offset hit counts.
+
+    Returns (ids, sizes, base, kd_pad, kc_pad, nt_pad) ready for
+    _compact_map_body.
+    """
+    dense_ids, compact_ids, tiles_per = plan_tiles(counts, int(cap_out),
+                                                   tile=tile,
+                                                   dense_frac=dense_frac)
+    kd, kc, nt = len(dense_ids), len(compact_ids), int(tiles_per.sum())
+    # Dense-tier rows are full map width, so padding kd=1 (the usual
+    # identity-only case) up to 8 wastes 7 x M gathered rows per conv —
+    # bucket from 1 there; tile/offset counts keep the coarser granule.
+    kd_pad = _pow2_bucket(kd, lo=1) if kd else 0
+    kc_pad = _pow2_bucket(kc) if kc else 0
+    nt_pad = _pow2_bucket(nt) if nt else 0
+    ids = np.zeros(kd_pad + kc_pad, np.int32)
+    ids[:kd] = dense_ids
+    ids[kd_pad:kd_pad + kc] = compact_ids
+    base = np.full(max(kc_pad, 1), nt_pad, np.int32)
+    base[:kc] = np.cumsum(tiles_per) - tiles_per
+    return (ids, np.array([kd, kc], np.int32),
+            base[:kc_pad] if kc_pad else base[:0], kd_pad, kc_pad, nt_pad)
+
+
+def _pack_sched(raw, kd_pad: int, nt_pad: int, with_transpose: bool):
+    """Assemble the schedule dict(s) from a _compact_map_body result."""
+    dense_rows, dense_kept, up_dense, in_idx, out_idx, kept = raw
+    groups = ((in_idx, out_idx, kept),) if nt_pad else ()
+    sched: Dict = {
+        "dense": None if not kd_pad else (dense_rows, dense_kept),
+        "groups": groups}
+    if not with_transpose:
+        return sched
+    up: Dict = {
+        "dense": None if up_dense is None else (up_dense, dense_kept),
+        "groups": tuple((o, i, k) for i, o, k in groups)}
+    return sched, up
+
+
+def build_compact_schedules(jobs, tile: int = TILE):
+    """Batched schedule construction: ONE device dispatch for all maps.
+
+    Args:
+      jobs: sequence of (nbr [K, M], counts [K], cap_in, cap_out,
+        with_transpose, dense_frac) tuples — one per kernel map.
+
+    Returns a list matching ``jobs``: sched, or (sched, up_sched) where
+    with_transpose was set. Semantically identical to calling
+    build_compact_schedule per job; the only difference is dispatch
+    count (tests/test_compact_conv.py pins the equivalence).
+    """
+    nbrs, ids_l, sizes_l, base_l, cfgs, meta = [], [], [], [], [], []
+    for nbr, counts, cap_in, cap_out, with_transpose, dense_frac in jobs:
+        ids, sizes, base, kd_pad, kc_pad, nt_pad = _plan(
+            counts, int(cap_out), tile, dense_frac)
+        nbrs.append(jnp.asarray(nbr))
+        ids_l.append(jnp.asarray(ids))
+        sizes_l.append(jnp.asarray(sizes))
+        base_l.append(jnp.asarray(base))
+        cfgs.append((kd_pad, kc_pad, nt_pad, tile, int(cap_in),
+                     int(cap_out), bool(with_transpose) and kd_pad > 0))
+        meta.append((kd_pad, nt_pad, with_transpose))
+    raws = _compact_maps_fused(tuple(nbrs), tuple(ids_l), tuple(sizes_l),
+                               tuple(base_l), tuple(cfgs))
+    return [_pack_sched(raw, kd_pad, nt_pad, wt)
+            for raw, (kd_pad, nt_pad, wt) in zip(raws, meta)]
+
+
 def build_compact_schedule(nbr, counts: np.ndarray, cap_in: int,
                            cap_out: int, tile: int = TILE,
                            with_transpose: bool = False,
@@ -237,35 +325,15 @@ def build_compact_schedule(nbr, counts: np.ndarray, cap_in: int,
     index arrays on device; kept ids index the FULL offset axis — or
     (sched, up_sched) when with_transpose.
     """
-    nbr = jnp.asarray(nbr)
-    dense_ids, compact_ids, tiles_per = plan_tiles(counts, int(cap_out),
-                                                   tile=tile,
-                                                   dense_frac=dense_frac)
-    kd, kc, nt = len(dense_ids), len(compact_ids), int(tiles_per.sum())
-    kd_pad = _pow2_bucket(kd) if kd else 0
-    kc_pad = _pow2_bucket(kc) if kc else 0
-    nt_pad = _pow2_bucket(nt) if nt else 0
-    ids = np.zeros(kd_pad + kc_pad, np.int32)
-    ids[:kd] = dense_ids
-    ids[kd_pad:kd_pad + kc] = compact_ids
-    base = np.full(max(kc_pad, 1), nt_pad, np.int32)
-    base[:kc] = np.cumsum(tiles_per) - tiles_per
-    dense_rows, dense_kept, up_dense, in_idx, out_idx, kept = _compact_map(
-        nbr, jnp.asarray(ids), jnp.asarray(np.array([kd, kc], np.int32)),
-        jnp.asarray(base[:kc_pad] if kc_pad else base[:0]),
+    ids, sizes, base, kd_pad, kc_pad, nt_pad = _plan(
+        counts, int(cap_out), tile, dense_frac)
+    raw = _compact_map(
+        jnp.asarray(nbr), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(base),
         kd_pad=kd_pad, kc_pad=kc_pad, nt_pad=nt_pad, tile=tile,
         cap_in=int(cap_in), cap_out=int(cap_out),
         with_up=with_transpose and kd_pad > 0)
-    groups = ((in_idx, out_idx, kept),) if nt_pad else ()
-    sched: Dict = {
-        "dense": None if not kd_pad else (dense_rows, dense_kept),
-        "groups": groups}
-    if not with_transpose:
-        return sched
-    up: Dict = {
-        "dense": None if up_dense is None else (up_dense, dense_kept),
-        "groups": tuple((o, i, k) for i, o, k in groups)}
-    return sched, up
+    return _pack_sched(raw, kd_pad, nt_pad, with_transpose)
 
 
 def transpose_schedule(sched: Dict, cap_in: int, cap_out: int) -> Dict:

@@ -952,31 +952,39 @@ def build_pyramid_arrays_device(
             for name, l_in, _, nbr in jobs})
 
     if compact_conv and prune:
-        from gmf_tpu.sparse.compact import build_compact_schedule
+        from gmf_tpu.sparse.compact import build_compact_schedules
 
         nbr_by = {name: (l_in, nbr) for name, l_in, _, nbr in jobs}
+        # All per-map compactions fuse into ONE device dispatch (per-map
+        # dispatches paid ~8 relay round trips per pyramid and ran as
+        # separate executables in the inlier net's critical path).
+        sched_jobs, sched_keys = [], []
+        for l in range(num_levels):
+            _, nbr = nbr_by[f"self_{l}"]
+            sched_jobs.append((nbr, counts[f"self_{l}"], cap_l[l],
+                               cap_l[l], False, compact_dense_frac))
+            sched_keys.append((f"self_cmp_{l}", None))
+            if l + 1 < num_levels:
+                _, nbr = nbr_by[f"down_{l}"]
+                sched_jobs.append((nbr, counts[f"down_{l}"], cap_l[l],
+                                   cap_l[l + 1], True, compact_dense_frac))
+                sched_keys.append((f"down_cmp_{l}", f"up_cmp_{l}"))
+        if conv1_kernel_size != 3:
+            _, nbr = nbr_by["conv1"]
+            sched_jobs.append((nbr, counts["conv1"], cap_l[0], cap_l[0],
+                               False, compact_dense_frac))
+            sched_keys.append(("conv1_cmp", None))
+        scheds = build_compact_schedules(sched_jobs)
         arrays: Dict[str, jnp.ndarray] = {}
         for l in range(num_levels):
             arrays[f"mask_{l}"] = mask_l[l]
-            _, nbr = nbr_by[f"self_{l}"]
-            arrays[f"self_cmp_{l}"] = build_compact_schedule(
-                nbr, counts[f"self_{l}"], cap_in=cap_l[l],
-                cap_out=cap_l[l], dense_frac=compact_dense_frac)
-            if l + 1 < num_levels:
-                _, nbr = nbr_by[f"down_{l}"]
-                down, up = build_compact_schedule(
-                    nbr, counts[f"down_{l}"], cap_in=cap_l[l],
-                    cap_out=cap_l[l + 1], with_transpose=True,
-                    dense_frac=compact_dense_frac)
-                arrays[f"down_cmp_{l}"] = down
-                arrays[f"up_cmp_{l}"] = up
+        for (key, up_key), sched in zip(sched_keys, scheds):
+            if up_key is None:
+                arrays[key] = sched
+            else:
+                arrays[key], arrays[up_key] = sched
         if conv1_kernel_size == 3:
             arrays["conv1_cmp"] = arrays["self_cmp_0"]
-        else:
-            _, nbr = nbr_by["conv1"]
-            arrays["conv1_cmp"] = build_compact_schedule(
-                nbr, counts["conv1"], cap_in=cap_l[0], cap_out=cap_l[0],
-                dense_frac=compact_dense_frac)
         return arrays
 
     pruned = {

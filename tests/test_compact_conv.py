@@ -12,8 +12,8 @@ import numpy as np
 import pytest
 
 from gmf_tpu.sparse.compact import (
-    build_compact_schedule, plan_tiles, schedule_row_stats,
-    transpose_schedule)
+    build_compact_schedule, build_compact_schedules, plan_tiles,
+    schedule_row_stats, transpose_schedule)
 from gmf_tpu.sparse.conv import sparse_conv, sparse_conv_compact
 from gmf_tpu.sparse.device_maps import build_pyramid_arrays_device
 from gmf_tpu.sparse.kernel_map import build_pyramid
@@ -49,6 +49,42 @@ class TestScheduleExactness:
                                   scatter_mode=mode)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)
+
+    def test_batched_schedules_match_single(self, rng):
+        """build_compact_schedules (one fused dispatch for all maps)
+        must produce bit-identical schedules to per-map
+        build_compact_schedule calls, including transpose derivation."""
+        jobs, singles = [], []
+        for i, (K, M, cap_in, wt) in enumerate(
+                [(27, 96, 80, False), (27, 64, 96, True), (9, 48, 48,
+                                                           False)]):
+            nbr = _random_map(rng, K, M, cap_in, density=0.4)
+            counts = (nbr != cap_in).sum(axis=1)
+            jobs.append((nbr, counts, cap_in, M, wt, 0.5))
+            singles.append(build_compact_schedule(
+                jnp.asarray(nbr), counts, cap_in=cap_in, cap_out=M,
+                with_transpose=wt))
+        batched = build_compact_schedules(jobs)
+
+        def assert_sched_equal(a, b):
+            assert (a["dense"] is None) == (b["dense"] is None)
+            if a["dense"] is not None:
+                for x, y in zip(a["dense"], b["dense"]):
+                    np.testing.assert_array_equal(np.asarray(x),
+                                                  np.asarray(y))
+            assert len(a["groups"]) == len(b["groups"])
+            for ga, gb in zip(a["groups"], b["groups"]):
+                for x, y in zip(ga, gb):
+                    np.testing.assert_array_equal(np.asarray(x),
+                                                  np.asarray(y))
+
+        for got, ref in zip(batched, singles):
+            if isinstance(ref, tuple):
+                assert isinstance(got, tuple)
+                assert_sched_equal(got[0], ref[0])
+                assert_sched_equal(got[1], ref[1])
+            else:
+                assert_sched_equal(got, ref)
 
     def test_dense_frac_invariance(self, rng):
         """The dense-tier threshold is a pure performance knob: any
