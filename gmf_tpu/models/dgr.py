@@ -187,8 +187,12 @@ class DGRConfig:
     # instead of K' x M dense rows. None = follow use_device_maps().
     compact_inlier_conv: Optional[bool] = None
     # Dense-tier threshold for the compacted conv (sparse/compact.py
-    # plan_tiles): offsets with >= frac * M hits keep dense rows.
-    compact_dense_frac: float = 0.5
+    # plan_tiles): offsets with >= frac * M hits keep dense rows. 0.25
+    # measured best on v5e (scripts/profile_inlier_convs.py --dense-frac:
+    # block4 37.4 -> 23.9 ms and 4x fewer tiles to rank-select; the
+    # scatter-add rows a compact tile pays cost more than the ~2x padded
+    # dense gather rows below 25% occupancy).
+    compact_dense_frac: float = 0.25
 
     def use_device_maps(self) -> bool:
         if self.device_kernel_maps is not None:

@@ -170,17 +170,19 @@ def _compact_map_body(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
     q = ((jnp.arange(nt_pad, dtype=jnp.int32) - tile_base[t_row])[:, None]
          * tile + jnp.arange(tile, dtype=jnp.int32)[None, :]) + 1
     r2 = t_row[:, None]                                # [nt_pad, 1]
-    # level 1: smallest block b with blk_cum[r, b] >= q
-    lo = jnp.zeros((nt_pad, tile), jnp.int32)
-    hi = jnp.full((nt_pad, tile), B, jnp.int32)
-    for _ in range(max(1, int(np.ceil(np.log2(B + 1))))):
-        mid = (lo + hi) // 2
-        right = blk_cum[r2, jnp.minimum(mid, B - 1)] < q
-        lo = jnp.where(right, mid + 1, lo)
-        hi = jnp.where(right, hi, mid)
-    empty = lo >= B
-    blk = jnp.minimum(lo, B - 1)
-    c0 = jnp.where(blk > 0, blk_cum[r2, jnp.maximum(blk - 1, 0)], 0)
+    # level 1: smallest block b with blk_cum[r, b] >= q. A binary search
+    # pays log2(B) serial gather rounds; B is small (M/128), so ONE row
+    # gather of the tile's cum row + a broadcast compare-count resolves
+    # all 128 slots in a single VPU pass (~6x faster at 22k-corr scale).
+    cum_rows = blk_cum[t_row]                          # [nt_pad, B]
+    blk = jnp.sum((cum_rows[:, None, :] < q[:, :, None]).astype(jnp.int32),
+                  axis=-1)                             # [nt_pad, tile]
+    empty = blk >= B
+    blk = jnp.minimum(blk, B - 1)
+    c0 = jnp.where(
+        blk > 0,
+        jnp.take_along_axis(cum_rows, jnp.maximum(blk - 1, 0), axis=-1),
+        0)
     qb = q - c0                                        # rank in block
     # level 2a: pick the word among the block's 4 via popcount prefix
     wbase = r2 * nwords + blk * (BW // WB)

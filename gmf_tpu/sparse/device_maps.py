@@ -47,7 +47,8 @@ _EMPTY_KEY32 = -(2 ** 30)
 
 
 def _int32_frame_fits(in_coords: np.ndarray, out_coords: np.ndarray,
-                      slack: int, cap: int, with_rows: bool = True) -> bool:
+                      slack: int, cap: int, with_rows: bool = True,
+                      lattice: int = 1) -> bool:
     """Host-side check that packed keys for this (in, out, offsets) frame
     fit int32 — conservatively bounds the device-computed packing frame.
 
@@ -57,9 +58,17 @@ def _int32_frame_fits(in_coords: np.ndarray, out_coords: np.ndarray,
 
     int32 keys halve gather bytes and skip the TPU's int64 emulation —
     the probes are gather-bound, so this is ~2x on the hot path.
+
+    ``lattice``: level-l coords are multiples of 2^l; keys are packed
+    from the lattice-divided values (the probes shift them down), so the
+    frame shrinks by lattice^D — this is what lets coarse levels keep
+    int32 keys at surface-scan scale.
     """
     if len(in_coords) == 0 or len(out_coords) == 0:
         return False
+    in_coords = in_coords // lattice
+    out_coords = out_coords // lattice
+    slack = slack // lattice
     lo = np.minimum(in_coords.min(0), out_coords.min(0) - slack)
     spans = np.maximum(in_coords.max(0).astype(np.int64) - lo + 1, 1)
     prod = 1
@@ -304,7 +313,8 @@ def _device_kernel_map(in_coords, out_coords, offsets, in_valid_mask,
 
 def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
                             in_valid_mask, out_valid_mask, sentinel: int,
-                            chains: int = 1, compact: bool = False):
+                            chains: int = 1, compact: bool = False,
+                            shift: int = 0):
     """Separable 2x3-D probe for 6-D correspondence coordinates.
 
     A 6-D voxel is a (src, tgt) coordinate pair and the hypercube offset
@@ -339,13 +349,13 @@ def device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
         return _device_kernel_map_split(
             in_coords, out_coords, offs_s, offs_t, in_valid_mask,
             out_valid_mask, sentinel=sentinel, chains=chains,
-            compact=compact)
+            compact=compact, shift=shift)
 
 
 def device_kernel_map_split2(in_coords, out_coords, offs_s, offs_t,
                              in_valid_mask, out_valid_mask, src_pass,
                              sentinel: int, chains: int, chains_t: int,
-                             compact: bool = False):
+                             compact: bool = False, shift: int = 0):
     """Two-pass split probe (see device_kernel_map_split docstring).
 
     src_pass: [N] 1/0 — rows hashed by SRC part (1) vs TGT part (0).
@@ -355,15 +365,27 @@ def device_kernel_map_split2(in_coords, out_coords, offs_s, offs_t,
         return _device_kernel_map_split(
             in_coords, out_coords, offs_s, offs_t, in_valid_mask,
             out_valid_mask, sentinel=sentinel, chains=chains,
-            chains_t=chains_t, src_pass=src_pass, compact=compact)
+            chains_t=chains_t, src_pass=src_pass, compact=compact,
+            shift=shift)
 
 
 @partial(jax.jit,
-         static_argnames=("sentinel", "chains", "chains_t", "compact"))
+         static_argnames=("sentinel", "chains", "chains_t", "compact",
+                          "shift"))
 def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
                              in_valid_mask, out_valid_mask, sentinel: int,
                              chains: int = 1, chains_t: int = 0,
-                             src_pass=None, compact: bool = False):
+                             src_pass=None, compact: bool = False,
+                             shift: int = 0):
+    if shift:
+        # Level-l coords (and stride-scaled offsets) are multiples of
+        # 2^shift: arithmetic right shift = exact floor division, and
+        # the packed frame shrinks 2^(D*shift) — often the difference
+        # between int32 keys and int64 emulation.
+        in_coords = in_coords >> shift
+        out_coords = out_coords >> shift
+        offs_s = offs_s >> shift
+        offs_t = offs_t >> shift
     N = in_coords.shape[0]
     M = out_coords.shape[0]
     Ks, Ds = offs_s.shape
@@ -531,7 +553,7 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
 def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
                                in_valid_mask, out_valid_mask, src_rank,
                                mult_cap: int, cells: int, sentinel: int,
-                               packed: bool):
+                               packed: bool, shift: int = 0):
     """Separable 6-D probe via a DIRECT-ADDRESS 3-D src-part table.
 
     The split probe (device_kernel_map_split) resolves src-part
@@ -567,15 +589,21 @@ def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
         return _device_kernel_map_srcdense(
             in_coords, out_coords, offs_s, offs_t, in_valid_mask,
             out_valid_mask, src_rank, mult_cap=mult_cap, cells=cells,
-            sentinel=sentinel, packed=packed)
+            sentinel=sentinel, packed=packed, shift=shift)
 
 
 @partial(jax.jit,
-         static_argnames=("mult_cap", "cells", "sentinel", "packed"))
+         static_argnames=("mult_cap", "cells", "sentinel", "packed",
+                          "shift"))
 def _device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
                                 in_valid_mask, out_valid_mask, src_rank,
                                 mult_cap: int, cells: int, sentinel: int,
-                                packed: bool):
+                                packed: bool, shift: int = 0):
+    if shift:
+        in_coords = in_coords >> shift
+        out_coords = out_coords >> shift
+        offs_s = offs_s >> shift
+        offs_t = offs_t >> shift
     N = in_coords.shape[0]
     M = out_coords.shape[0]
     Ks, Ds = offs_s.shape
@@ -828,13 +856,14 @@ def build_pyramid_arrays_device(
         else:
             split_plan.append((ch_s, ch_t, src_pass))
 
-    # 128 MB table budget (2^25 cells x int32): covers every 3-D level
-    # (~30^3 cells incl the conv1 7^3 slack) and 6-D levels >= 1 at
-    # 3DMatch scale (level 1 ~17^3 x 17^3 = 24M cells); only the finest
-    # 6-D level exceeds it and stays on the split hash probe. HBM is
-    # 16 GB — a transient 128 MB table is cheap against the 24 gathers
-    # per query the ch=4 chained hash pays.
-    DENSE_CELL_BUDGET = 1 << 25
+    # Joint dense-table budget, set by GATHER RATE, not HBM: tables past
+    # ~16 MB fall off the TPU's big-table gather cliff (measured: the
+    # surface scan's level-3 self map on a 2^25-cell table took 1.58 s —
+    # slower than the chained hash it replaced). 2^22 cells x int32 =
+    # 16 MB (x3 lane replicas 48 MB) stays in the fast zone; covers every
+    # 3-D level (~30^3 cells incl the conv1 7^3 slack) and the 6-D coarse
+    # levels at 3DMatch scale; bigger frames take the int32 split probe.
+    DENSE_CELL_BUDGET = 1 << 22
 
     # src-dense probe gates: table entries (3-D src cells x multiplicity
     # slots) stay <= 16 MB — past that the TPU gather-rate cliff for big
@@ -865,14 +894,21 @@ def build_pyramid_arrays_device(
             return None
         mult_cap = next(m for m in SRCDENSE_MULT_MENU if m >= mult)
         in_c, out_c = level_coords[l_in], level_coords[l_out]
-        slack = t_stride
-        cells = _bound3(in_c[:, :3], out_c[:, :3], slack)
+        # Coords sit on the stride-t lattice: probe in lattice units
+        # (shift right) so frames shrink t^3 per half — this is what
+        # keeps the direct-address table (and the packed int32 entry)
+        # viable at coarse levels of large scans.
+        sh = int(t_stride).bit_length() - 1
+        in_3, out_3 = in_c[:, :3] >> sh, out_c[:, :3] >> sh
+        in_t, out_t = in_c[:, 3:] >> sh, out_c[:, 3:] >> sh
+        slack = 1
+        cells = _bound3(in_3, out_3, slack)
         if not cells or cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
             return None
         cells = 1 << max(int(np.ceil(np.log2(cells))), 4)
         if cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
             return None
-        tcells = _bound3(in_c[:, 3:], out_c[:, 3:], slack)
+        tcells = _bound3(in_t, out_t, slack)
         if not tcells or tcells >= 2 ** 31:
             return None
         IB = max(int(np.ceil(np.log2(max(cap_l[l_in], 2)))), 1)
@@ -883,7 +919,7 @@ def build_pyramid_arrays_device(
         return device_kernel_map_srcdense(
             cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
             mask_l[l_out], jnp.asarray(rank_pad), mult_cap=mult_cap,
-            cells=cells, sentinel=cap_l[l_in], packed=packed)
+            cells=cells, sentinel=cap_l[l_in], packed=packed, shift=sh)
 
     def probe(l_in, l_out, kernel_size, t_stride):
         chains, chains_t, src_pass = split_plan[l_in]
@@ -903,13 +939,19 @@ def build_pyramid_arrays_device(
                 lane_group=kernel_size if region == "hypercube" else 1)
         if kernel_size == 3 and chains >= 1:
             k3s = jnp.asarray(offs_fn(3, 3, t_stride))
+            # probes shift coords into lattice units (exact: level
+            # coords are stride multiples), shrinking frames t^3 per
+            # half so int32 keys survive at surface-scan scale
+            sh = int(t_stride).bit_length() - 1
             # two-pass packs TGT keys with row ids too -> with_rows on
             # both frames; single-pass only needs bare tgt compare keys
             comp = (_int32_frame_fits(in_c[:, :3], out_c[:, :3], slack,
-                                      cap_l[l_in], with_rows=True)
+                                      cap_l[l_in], with_rows=True,
+                                      lattice=t_stride)
                     and _int32_frame_fits(in_c[:, 3:], out_c[:, 3:], slack,
                                           cap_l[l_in],
-                                          with_rows=chains_t > 0))
+                                          with_rows=chains_t > 0,
+                                          lattice=t_stride))
             if chains_t:
                 sp = np.zeros(cap_l[l_in], np.float32)
                 sp[: len(src_pass)] = src_pass
@@ -917,30 +959,51 @@ def build_pyramid_arrays_device(
                     cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
                     mask_l[l_out], jnp.asarray(sp),
                     sentinel=cap_l[l_in], chains=chains,
-                    chains_t=chains_t, compact=comp)
+                    chains_t=chains_t, compact=comp, shift=sh)
             return device_kernel_map_split(
                 cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
                 mask_l[l_out], sentinel=cap_l[l_in], chains=chains,
-                compact=comp)
+                compact=comp, shift=sh)
         k = offs_fn(kernel_size, dim, t_stride)
         comp = _int32_frame_fits(in_c, out_c, slack, cap_l[l_in],
-                                 with_rows=True)
+                                 with_rows=True, lattice=t_stride)
         return device_kernel_map(
             cpad_l[l_in], cpad_l[l_out], jnp.asarray(k), mask_l[l_in],
-            mask_l[l_out], sentinel=cap_l[l_in], compact=comp)
+            mask_l[l_out], sentinel=cap_l[l_in], compact=comp,
+            lattice=t_stride)
 
     # Phase 1: dispatch EVERY probe before the first host fetch — the
     # prune decision needs a [K]-bool from each map, and fetching eagerly
     # would idle the device through one relay round trip per map.
+    # GMF_PROBE_PROFILE=1 breaks that pipelining to time each probe
+    # individually (diagnostics only — adds one sync per map).
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("GMF_PROBE_PROFILE") == "1"
+
+    def _probe_job(name, l_in, l_out, ksz, stride):
+        t0 = _time.perf_counter()
+        nbr = probe(l_in, l_out, ksz, stride)
+        if _prof:
+            t1 = _time.perf_counter()
+            jax.device_get(nbr[:1, :1])
+            print(f"  [probe] {name:8s} K={nbr.shape[0]:4d} "
+                  f"M={nbr.shape[1]:6d} dispatch {(t1 - t0) * 1e3:6.1f} ms "
+                  f"exec+sync {(_time.perf_counter() - t1) * 1e3:7.1f} ms")
+        return nbr
+
     jobs = []   # (array key, level of the input side, kernel volume, nbr)
     for l in range(num_levels):
         kv = len(offs_fn(3, dim, 1))
-        jobs.append((f"self_{l}", l, kv, probe(l, l, 3, 2 ** l)))
+        jobs.append((f"self_{l}", l, kv,
+                     _probe_job(f"self_{l}", l, l, 3, 2 ** l)))
         if l + 1 < num_levels:
-            jobs.append((f"down_{l}", l, kv, probe(l, l + 1, 3, 2 ** l)))
+            jobs.append((f"down_{l}", l, kv,
+                         _probe_job(f"down_{l}", l, l + 1, 3, 2 ** l)))
     if conv1_kernel_size != 3:
         kv1 = len(offs_fn(conv1_kernel_size, dim, 1))
-        jobs.append(("conv1", 0, kv1, probe(0, 0, conv1_kernel_size, 1)))
+        jobs.append(("conv1", 0, kv1,
+                     _probe_job("conv1", 0, 0, conv1_kernel_size, 1)))
 
     # Phase 2: one batched fetch of all prune vectors (per-offset hit
     # counts — `> 0` is the prune bool; the counts themselves size the

@@ -163,9 +163,11 @@ def main():
                 ch = -(-int(counts.max()) // 3)
                 ch = ch + 1 if ch >= 2 else ch   # builder's slack rule
                 cap = _pc(len(c), cfg.corr_cap_granule)
-                fits = (_int32_frame_fits(c[:, :3], c[:, :3], 2 ** l, cap)
+                fits = (_int32_frame_fits(c[:, :3], c[:, :3], 2 ** l, cap,
+                                          lattice=2 ** l)
                         and _int32_frame_fits(c[:, 3:], c[:, 3:], 2 ** l,
-                                              cap, with_rows=False))
+                                              cap, with_rows=False,
+                                              lattice=2 ** l))
                 path = ("split" if 1 <= ch <= 4 else
                         "split2" if counts.max() > 0 else "FULL")
                 print(f"  level {l}: n={len(c)} cap={cap} "
