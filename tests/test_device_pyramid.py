@@ -7,9 +7,10 @@ from gmf_tpu.sparse.kernel_map import build_pyramid
 from gmf_tpu.sparse.resunet import pyramid_to_arrays
 
 
-def _compare(rng, dim, extent, n, conv1_k, granule, region="hypercube"):
+def _compare(rng, dim, extent, n, conv1_k, granule, region="hypercube",
+             lo=0):
     coords = np.unique(
-        rng.randint(0, extent, (n, dim)).astype(np.int32), axis=0)
+        rng.randint(lo, extent, (n, dim)).astype(np.int32), axis=0)
     host = pyramid_to_arrays(build_pyramid(
         coords, 4, conv1_kernel_size=conv1_k, region=region,
         granule=granule))
@@ -28,6 +29,14 @@ def test_pyramid_3d_conv7(rng):
 
 def test_pyramid_6d_pruned(rng):
     _compare(rng, 6, 8, 400, conv1_k=3, granule=128)
+
+
+def test_pyramid_negative_coords(rng):
+    """Real clouds produce negative voxel coords; the probes' lattice
+    shift (arithmetic right shift of stride multiples) and the packing
+    frames must stay exact there — both 3-D and 6-D."""
+    _compare(rng, 3, 30, 700, conv1_k=7, granule=128, lo=-34)
+    _compare(rng, 6, 7, 400, conv1_k=3, granule=128, lo=-9)
 
 
 def test_pyramid_hypercross(rng):
