@@ -202,12 +202,13 @@ class DGRConfig:
     def use_compact_conv(self) -> bool:
         if self.compact_inlier_conv is not None:
             return self.compact_inlier_conv
-        # Opt-in for now: the compacted conv apply is 4x faster than the
-        # dense-map conv (648 -> 162 ms at 22k voxels on v5e), but the
-        # schedule-compaction dispatches still cost ~0.5 s in-stream, a
-        # net E2E regression (2.75 vs 2.3 s/pair). Flips to device-maps
-        # default once the two-level compaction lands.
-        return False
+        # Default-on with device maps (r3): the conv apply is 4x faster
+        # than the dense-map conv (648 -> 162 ms at 22k voxels on v5e)
+        # and the schedule compaction now runs as ONE fused dispatch
+        # with a compare-count rank select — E1 (net + compaction)
+        # measured 0.35 s vs ~0.9 s dense at 22k random matches
+        # (outputs/r3_tpu_sweep/profile_random_v2.txt).
+        return self.use_device_maps()
 
 
 class DeepGlobalRegistration:
