@@ -54,12 +54,16 @@ def main():
     cap = pyr.levels[0].cap
     feats = jnp.ones((cap, 1), jnp.float32)
     model = FCGFNet(conv1_kernel_size=7)
-    variables = model.init(jax.random.PRNGKey(0), feats, arrays)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), feats, arrays)
     apply3 = jax.jit(lambda v, f, a: model.apply(v, f, a))
-    out = jax.block_until_ready(apply3(variables, feats, arrays))
+    # block_until_ready does not sync through this box's TPU relay
+    # (CLAUDE.md); dispatch iters back-to-back and host-fetch once.
+    out = apply3(variables, feats, arrays)
+    np.asarray(out[:1, :1])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = jax.block_until_ready(apply3(variables, feats, arrays))
+        out = apply3(variables, feats, arrays)
+    np.asarray(out[:1, :1])
     dt3 = (time.perf_counter() - t0) / args.iters
     print(f"FCGF 3D: {len(coords)} voxels  kernel-maps {t_map3*1e3:.0f} ms "
           f"(host)  forward {dt3*1e3:.1f} ms  "
@@ -78,14 +82,16 @@ def main():
     feats6 = jnp.ones((cap6, 1), jnp.float32)
     img = jnp.full((1, 120, 160, 3), 0.5, jnp.float32)
     inlier = GMFInlierNet()
-    iv = inlier.init(jax.random.PRNGKey(1), feats6, arrays6,
-                     p_image=img, q_image=img)
+    iv = jax.jit(inlier.init)(jax.random.PRNGKey(1), feats6, arrays6,
+                              p_image=img, q_image=img)
     apply6 = jax.jit(lambda v, f, a, p, q: inlier.apply(
         v, f, a, p_image=p, q_image=q))
-    out = jax.block_until_ready(apply6(iv, feats6, arrays6, img, img))
+    out = apply6(iv, feats6, arrays6, img, img)
+    np.asarray(out[:1, :1])
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = jax.block_until_ready(apply6(iv, feats6, arrays6, img, img))
+        out = apply6(iv, feats6, arrays6, img, img)
+    np.asarray(out[:1, :1])
     dt6 = (time.perf_counter() - t0) / args.iters
     k_active = arrays6["self_map_0"].shape[0]
     print(f"GMF 6D inlier: {len(coords6)} corr voxels  active offsets "
