@@ -553,7 +553,8 @@ def _device_kernel_map_split(in_coords, out_coords, offs_s, offs_t,
 def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
                                in_valid_mask, out_valid_mask, src_rank,
                                mult_cap: int, cells: int, sentinel: int,
-                               packed: bool, shift: int = 0):
+                               packed: bool, shift: int = 0,
+                               row_mode: bool = False):
     """Separable 6-D probe via a DIRECT-ADDRESS 3-D src-part table.
 
     The split probe (device_kernel_map_split) resolves src-part
@@ -573,7 +574,7 @@ def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
     mult_cap rounds of [27, M] small-table gathers replace the split
     probe's 3*chains rounds of 2 gathers: at 22k voxels / level 1
     (mult 8 vs chains 4) that is 4.9M vs 14.6M gathered elements, all
-    against a <=16 MB table (the TPU gather-rate cliff for big tables is
+    against a <=64 MB table (the TPU gather-rate cliff for big tables is
     the reason the [cells6] joint dense table loses at level <= 1: its
     2^25-cell table is 134 MB * 3 lane replicas).
 
@@ -582,6 +583,18 @@ def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
     needed; an in-graph frame guard still falls back to the full sorted
     join if the device-computed frame exceeds ``cells``.
 
+    row_mode=True: the table is laid out [cells, mult_cap] and the probe
+    issues ONE [Ks, M] ROW gather (all mult_cap slots of a src cell ride
+    one gather descriptor as contiguous lanes) instead of mult_cap scalar
+    gather rounds. The per-(kt) match is then a broadcast reduce over the
+    slot lanes. Since probe cost is gather-DESCRIPTOR bound (~40 M/s
+    measured on v5e at surface scale), this turns the coarse-level
+    multiplicity (50-80 at a 30k-voxel surface scan, the reference's
+    MinkowskiEngine coordinate-manager worst case) from a x(mult/3) round
+    multiplier into a constant. Mirrors the reference's kernel-map
+    semantics at core/deep_global_registration.py:248-260 (6-D inlier
+    conv input) with no behavioral change: output remains bit-identical.
+
     Returns nbr [(Ks*Kt), M] int32, identical to device_kernel_map with
     cartesian(offs_s, offs_t).
     """
@@ -589,16 +602,18 @@ def device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
         return _device_kernel_map_srcdense(
             in_coords, out_coords, offs_s, offs_t, in_valid_mask,
             out_valid_mask, src_rank, mult_cap=mult_cap, cells=cells,
-            sentinel=sentinel, packed=packed, shift=shift)
+            sentinel=sentinel, packed=packed, shift=shift,
+            row_mode=row_mode)
 
 
 @partial(jax.jit,
          static_argnames=("mult_cap", "cells", "sentinel", "packed",
-                          "shift"))
+                          "shift", "row_mode"))
 def _device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
                                 in_valid_mask, out_valid_mask, src_rank,
                                 mult_cap: int, cells: int, sentinel: int,
-                                packed: bool, shift: int = 0):
+                                packed: bool, shift: int = 0,
+                                row_mode: bool = False):
     if shift:
         in_coords = in_coords >> shift
         out_coords = out_coords >> shift
@@ -681,6 +696,42 @@ def _device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
     qcell = (jnp.clip(qk_s, 0, cells - 1) * mult_cap).astype(jnp.int32)
     qk_t32 = qk_t.astype(jnp.int32)
 
+    def srcrows_path(_):
+        """One [Ks, M] ROW gather over a [cells, mult_cap] table; the
+        mult_cap slots arrive as lanes. Rank order = slot order, so the
+        first-match convention is preserved by a min-reduce over
+        rank*N + row (6-D coords are unique in the pyramid, so at most
+        one slot matches a given (ks, j, kt) anyway)."""
+        base = jnp.clip(qk_s, 0, cells - 1).astype(jnp.int32)   # [Ks, M]
+        if packed:
+            entries = ((t_keys.astype(jnp.int32) << IB) | rows)
+            table = jnp.full((cells, mult_cap), jnp.int32(-1)).at[
+                slot // mult_cap, slot % mult_cap].set(entries, mode="drop")
+            e = table[base]                          # [Ks, M, R] row gather
+            ok = e >= 0
+            tk = e >> IB
+            cand = e & ((1 << IB) - 1)
+        else:
+            row_t = jnp.full((cells, mult_cap), jnp.int32(-1)).at[
+                slot // mult_cap, slot % mult_cap].set(rows, mode="drop")
+            tk_t = jnp.full((cells, mult_cap), jnp.int32(-1)).at[
+                slot // mult_cap, slot % mult_cap].set(
+                t_keys.astype(jnp.int32), mode="drop")
+            cand = row_t[base]                       # [Ks, M, R] row gather
+            tk = tk_t[base]                          # [Ks, M, R] row gather
+            ok = cand >= 0
+        ok = ok & s_range[:, :, None]
+        # rank-ordered pick: slot r holds rank r, value r*N + row
+        rank_val = (jnp.arange(mult_cap, dtype=jnp.int32) * N)[None, None]
+        big32 = jnp.int32(2 ** 31 - 1)
+        cols = []
+        for kt in range(Kt):
+            m = ok & (tk == qk_t32[kt][None, :, None])   # [Ks, M, R]
+            v = jnp.min(jnp.where(m, rank_val + cand, big32), axis=-1)
+            hit = (v != big32) & t_range[kt][None, :]
+            cols.append(jnp.where(hit, v % N, sentinel))
+        return jnp.stack(cols, axis=1).reshape(Ks * Kt, M)
+
     def srcdense_path(_):
         idx = jnp.full((Ks, Kt, M), sentinel, jnp.int32)
         found = jnp.zeros((Ks, Kt, M), bool)
@@ -713,7 +764,8 @@ def _device_kernel_map_srcdense(in_coords, out_coords, offs_s, offs_t,
                 found = found | m3
         return idx.reshape(Ks * Kt, M)
 
-    return jax.lax.cond(guard, sorted_path, srcdense_path, None)
+    return jax.lax.cond(guard, sorted_path,
+                        srcrows_path if row_mode else srcdense_path, None)
 
 
 # ---------------------------------------------------------------------------
@@ -856,22 +908,31 @@ def build_pyramid_arrays_device(
         else:
             split_plan.append((ch_s, ch_t, src_pass))
 
-    # Joint dense-table budget, set by GATHER RATE, not HBM: tables past
-    # ~16 MB fall off the TPU's big-table gather cliff (measured: the
-    # surface scan's level-3 self map on a 2^25-cell table took 1.58 s —
-    # slower than the chained hash it replaced). 2^22 cells x int32 =
-    # 16 MB (x3 lane replicas 48 MB) stays in the fast zone; covers every
-    # 3-D level (~30^3 cells incl the conv1 7^3 slack) and the 6-D coarse
-    # levels at 3DMatch scale; bigger frames take the int32 split probe.
-    DENSE_CELL_BUDGET = 1 << 22
+    # Joint dense-table budget, set by GATHER RATE, not HBM. Measured on
+    # this v5e (scripts/bench_gather_tiers.py, outputs/r3_tpu_sweep/
+    # gather_tiers.txt): scalar gathers run a flat ~114 Mdesc/s up to
+    # 64 MB tables and drop to ~68 Mdesc/s at 128 MB+ — the cliff is at
+    # 128 MB, not 16 MB as r3's first estimate assumed. 2^24 cells x
+    # int32 = 64 MB stays in the fast zone and covers the 30k-voxel
+    # surface scan's conv1 frame (~2^23 cells), which previously fell to
+    # the 3-round hash probe (826 ms vs ~35 ms dense at uniform).
+    DENSE_CELL_BUDGET = 1 << 24
 
     # src-dense probe gates: table entries (3-D src cells x multiplicity
-    # slots) stay <= 16 MB — past that the TPU gather-rate cliff for big
-    # tables erases the fewer-gathers win — and the per-slot loop stays
-    # short. mult_cap buckets to a small menu so the jitted probe
-    # compiles once per bucket, not once per pair.
-    SRCDENSE_ENTRY_BUDGET = 1 << 22
+    # slots) stay <= 2^24 (64 MB, same measured gather-rate zone) and the
+    # per-slot loop stays short. mult_cap buckets to a small menu so the
+    # jitted probe compiles once per bucket, not once per pair.
+    SRCDENSE_ENTRY_BUDGET = 1 << 24
     SRCDENSE_MULT_MENU = (1, 2, 4, 6, 8, 12)
+    # Row-mode tier: multiplicity beyond the slot-loop menu switches to
+    # the [cells, R] row-gather table (one descriptor per probe, R slots
+    # per descriptor) instead of R scalar rounds. Measured: row gathers
+    # cost ~2x LESS per descriptor than scalar gathers at any R <= 128
+    # for tables <= 64 MB (~240 Mdesc/s = up to 32 Gelem/s), so the
+    # coarse-level multiplicity (50-80 at surface scans) stops being a
+    # round multiplier entirely.
+    SRCROWS_MULT_MENU = (16, 32, 64, 128)
+    SRCROWS_ENTRY_BUDGET = 1 << 24
 
     def _bound3(in_3, out_3, slack):
         lo = np.minimum(in_3.min(0), out_3.min(0) - slack)
@@ -890,9 +951,15 @@ def build_pyramid_arrays_device(
         if src_info[l_in] is None:
             return None
         mult, rank = src_info[l_in]
-        if mult > SRCDENSE_MULT_MENU[-1]:
-            return None
-        mult_cap = next(m for m in SRCDENSE_MULT_MENU if m >= mult)
+        row_mode = mult > SRCDENSE_MULT_MENU[-1]
+        if row_mode:
+            if mult > SRCROWS_MULT_MENU[-1]:
+                return None
+            mult_cap = next(m for m in SRCROWS_MULT_MENU if m >= mult)
+            entry_budget = SRCROWS_ENTRY_BUDGET
+        else:
+            mult_cap = next(m for m in SRCDENSE_MULT_MENU if m >= mult)
+            entry_budget = SRCDENSE_ENTRY_BUDGET
         in_c, out_c = level_coords[l_in], level_coords[l_out]
         # Coords sit on the stride-t lattice: probe in lattice units
         # (shift right) so frames shrink t^3 per half — this is what
@@ -903,10 +970,10 @@ def build_pyramid_arrays_device(
         in_t, out_t = in_c[:, 3:] >> sh, out_c[:, 3:] >> sh
         slack = 1
         cells = _bound3(in_3, out_3, slack)
-        if not cells or cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
+        if not cells or cells * mult_cap > entry_budget:
             return None
         cells = 1 << max(int(np.ceil(np.log2(cells))), 4)
-        if cells * mult_cap > SRCDENSE_ENTRY_BUDGET:
+        if cells * mult_cap > entry_budget:
             return None
         tcells = _bound3(in_t, out_t, slack)
         if not tcells or tcells >= 2 ** 31:
@@ -919,7 +986,8 @@ def build_pyramid_arrays_device(
         return device_kernel_map_srcdense(
             cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
             mask_l[l_out], jnp.asarray(rank_pad), mult_cap=mult_cap,
-            cells=cells, sentinel=cap_l[l_in], packed=packed, shift=sh)
+            cells=cells, sentinel=cap_l[l_in], packed=packed, shift=sh,
+            row_mode=row_mode)
 
     def probe(l_in, l_out, kernel_size, t_stride):
         chains, chains_t, src_pass = split_plan[l_in]

@@ -124,6 +124,33 @@ def main():
         dt = timeit(fn)
         print(f"{name}: {dt * 1e3:8.1f} ms")
 
+    # row-mode src-dense probe (one [Ks, M] row gather over the
+    # [cells, mult_cap] table) at the same level shapes
+    for R in (16, 32, 64, 128):
+        if R < mult:
+            continue
+        in3 = (c[:, :3] >> sh)
+        t3 = (c[:, 3:] >> sh)
+        lo3 = np.minimum(in3.min(0), in3.min(0) - 1)
+        spans3 = in3.max(0).astype(np.int64) - lo3 + 1
+        cells = 1 << max(int(np.ceil(np.log2(int(np.prod(spans3))))), 4)
+        tlo = np.minimum(t3.min(0), t3.min(0) - 1)
+        tspans = t3.max(0).astype(np.int64) - tlo + 1
+        tcells = int(np.prod(tspans))
+        IB = max(int(np.ceil(np.log2(max(cap, 2)))), 1)
+        packed = tcells < (1 << (31 - IB))
+        rank_pad = np.zeros(cap, np.int32)
+        rank_pad[: len(c)] = rank.astype(np.int32)
+        fn = lambda R=R, cells=cells, packed=packed: \
+            dm.device_kernel_map_srcdense(
+                cp_d, cp_d, k3s, k3s, mask_d, mask_d,
+                jnp.asarray(rank_pad), mult_cap=R, cells=cells,
+                sentinel=cap, packed=packed, shift=sh, row_mode=True)
+        dt = timeit(fn)
+        print(f"srcrows R={R:3d} {'pck' if packed else 'raw'} "
+              f"(cells 2^{cells.bit_length() - 1}): {dt * 1e3:8.1f} ms")
+        break
+
 
 if __name__ == "__main__":
     main()

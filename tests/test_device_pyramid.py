@@ -63,6 +63,35 @@ def test_pyramid_6d_degenerate_multiplicity(rng):
             np.asarray(dev[k]), np.asarray(host[k]), err_msg=k)
 
 
+def test_srcrows_probe_engages(rng, monkeypatch):
+    """Multiplicity past the slot-loop menu (12) must pick the ROW-mode
+    src-dense probe (one [Ks, M] row gather over [cells, mult_cap]) and
+    stay bit-equal to the host pyramid."""
+    import gmf_tpu.sparse.device_maps as dm
+
+    modes = []
+    real = dm.device_kernel_map_srcdense
+
+    def recording(*a, **k):
+        modes.append(k.get("row_mode", False))
+        return real(*a, **k)
+
+    monkeypatch.setattr(dm, "device_kernel_map_srcdense", recording)
+    src = rng.randint(0, 2, (500, 3)).astype(np.int32)  # ~60 per src part
+    tgt = rng.randint(0, 10, (500, 3)).astype(np.int32)
+    coords = np.unique(np.concatenate([src, tgt], axis=1), axis=0)
+    mult = np.unique(coords[:, :3], axis=0, return_counts=True)[1].max()
+    assert mult > 12, f"fixture multiplicity too low ({mult})"
+    host = pyramid_to_arrays(build_pyramid(
+        coords, 4, conv1_kernel_size=3, granule=64))
+    dev = build_pyramid_arrays_device(
+        coords, 4, conv1_kernel_size=3, granule=64)
+    assert any(modes), "row-mode src-dense probe never engaged"
+    for k in sorted(host):
+        np.testing.assert_array_equal(
+            np.asarray(dev[k]), np.asarray(host[k]), err_msg=k)
+
+
 def test_srcdense_probe_engages(rng, monkeypatch):
     """Gate regression guard: on a small-frame low-multiplicity 6-D
     input the direct-address src-dense probe must actually be CHOSEN
