@@ -31,11 +31,14 @@ def main():
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--device-maps", choices=["auto", "on", "off"],
                     default="auto")
-    ap.add_argument("--cloud", choices=["uniform", "surface"],
+    ap.add_argument("--cloud", choices=["uniform", "surface", "lidar"],
                     default="uniform",
                     help="uniform box (worst case: pyramid levels barely "
-                         "merge) or a heightfield surface (realistic scan "
-                         "geometry: coarser levels shrink like 3DMatch)")
+                         "merge), a heightfield surface (realistic scan "
+                         "geometry: coarser levels shrink like 3DMatch), "
+                         "or a LiDAR sweep (KITTI-like: ~100 m annulus, "
+                         "1/r density, flat ground + vertical clutter — "
+                         "the realistic voxel-frame shape for --kitti)")
     ap.add_argument("--matches", choices=["fcgf", "oracle"],
                     default="fcgf",
                     help="fcgf: real 1-NN over the (untrained) descriptor "
@@ -114,7 +117,32 @@ def main():
     H, W = cfg.image_hw
 
     rng = np.random.RandomState(0)
-    if args.cloud == "surface":
+    if args.cloud == "lidar":
+        # KITTI-like sweep: annulus footprint with ~1/r point density
+        # (uniform in r after sqrt-free inverse sampling), flat ground
+        # plus clusters of vertical structure. The voxel frame comes out
+        # wide and FLAT (~300 x 300 x 25 lattice cells at voxel 0.3),
+        # which is the regime real scripts/test_kitti.py pairs occupy.
+        r_max = 50.0
+        n_grd = int(args.pts * 0.7)
+        r = 2.0 + (r_max - 2.0) * rng.rand(n_grd)     # ~1/r area density
+        th = 2 * np.pi * rng.rand(n_grd)
+        grd = np.stack([r * np.cos(th), r * np.sin(th),
+                        0.05 * rng.randn(n_grd)], axis=1)
+        n_cl = args.pts - n_grd
+        n_clusters = 40
+        centers = np.stack([
+            (2.0 + (r_max - 5.0) * rng.rand(n_clusters)) *
+            np.cos(2 * np.pi * rng.rand(n_clusters)),
+            (2.0 + (r_max - 5.0) * rng.rand(n_clusters)) *
+            np.sin(2 * np.pi * rng.rand(n_clusters)),
+            np.zeros(n_clusters)], axis=1)
+        ci = rng.randint(0, n_clusters, n_cl)
+        cl = centers[ci] + np.stack([
+            0.8 * rng.randn(n_cl), 0.8 * rng.randn(n_cl),
+            4.0 * rng.rand(n_cl)], axis=1)
+        xyz0 = np.concatenate([grd, cl], axis=0).astype(np.float32)
+    elif args.cloud == "surface":
         # heightfield: a 2-D manifold like a depth-camera scan
         side = (args.pts * 0.9) ** 0.5 * cfg.voxel_size
         xy = rng.rand(args.pts, 2) * side
