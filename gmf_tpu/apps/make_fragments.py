@@ -103,6 +103,12 @@ def make_posegraph_for_fragment(clouds: Sequence[np.ndarray],
         ok, T_st = rgbd_odometry(clouds[s], clouds[t],
                                  max_corr_dist=max_corr_dist,
                                  normals_s=normals[s])
+        # NOTE: `ok` is deliberately ignored for adjacent frames — the
+        # reference chains the odometry estimate and records a certain
+        # edge regardless of success (make_fragments.py:80-92, trans is
+        # used unconditionally when t == s + 1); only keyframe loop
+        # closures below gate on success (:103). The pose-graph
+        # optimization is what recovers from a bad odometry link.
         # X_t = X_s @ T_st (edge maps frame t into frame s)
         nodes.append(nodes[s] @ T_st)
         edges.append(PoseGraphEdge(s, t, T_st, uncertain=False))
@@ -133,8 +139,16 @@ def integrate_fragment(depths: Sequence[np.ndarray], poses,
     pts_all = np.concatenate(pts_all, axis=0)
     lo = pts_all.min(0) - margin
     hi = pts_all.max(0) + margin
-    dims = np.minimum(np.ceil((hi - lo) / voxel_size).astype(int) + 1,
-                      max_dim)
+    want = np.ceil((hi - lo) / voxel_size).astype(int) + 1
+    dims = np.minimum(want, max_dim)
+    if np.any(want > max_dim):  # no silent caps: the grid anchors at lo
+        import warnings
+
+        warnings.warn(
+            f"fragment extent {np.round(hi - lo, 2)} m exceeds the "
+            f"{max_dim}-voxel TSDF grid ({max_dim * voxel_size:.2f} m "
+            "per axis); geometry beyond the grid is not integrated — "
+            "raise max_dim or voxel_size", stacklevel=2)
     vol = TSDFVolume(lo, tuple(int(d) for d in dims), voxel_size=voxel_size)
     for depth, pose in zip(depths, poses):
         vol.integrate(depth, intrinsics, np.asarray(pose),

@@ -94,12 +94,22 @@ class RegistrationService:
             }
             self.registrar.register_batch([dict(pair) for _ in range(b)])
 
-    def close(self, timeout: float = 30.0) -> None:
-        """Drain pending work and stop the collector thread."""
+    def close(self, timeout: float = None) -> None:
+        """Drain pending work and stop the collector thread.
+
+        Waits until the drain completes (a first-request XLA compile can
+        take minutes — see warmup()). Pass a numeric ``timeout`` to bound
+        the wait; if the collector is still draining when it expires, a
+        ``TimeoutError`` is raised rather than silently abandoning
+        in-flight Futures."""
         with self._submit_lock:
             self._stop.set()
             self._q.put(None)  # wake the collector; last item ever queued
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(
+                f"collector still draining after {timeout}s; outstanding "
+                "futures will resolve when the drain finishes")
 
     def __enter__(self):
         return self
@@ -199,20 +209,25 @@ class RegistrationService:
                 if not item and pending:
                     fetch_one()
         except BaseException as e:  # collector must never die silently
-            self._stop.set()
-            for g in groups.values():
-                for _, fut, _ in g:
-                    if not fut.done():
-                        fut.set_exception(e)
-            for group, _ in pending:
-                for _, fut, _ in group:
-                    if not fut.done():
-                        fut.set_exception(e)
-            while True:
-                try:
-                    late = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if late is not None and not late[1].done():
-                    late[1].set_exception(e)
+            # under _submit_lock: a concurrent submit() either finished
+            # its put before we drain below (we fail its future here) or
+            # observes _stop afterwards and raises — nothing can land in
+            # the queue after the final drain and hang forever
+            with self._submit_lock:
+                self._stop.set()
+                for g in groups.values():
+                    for _, fut, _ in g:
+                        if not fut.done():
+                            fut.set_exception(e)
+                for group, _ in pending:
+                    for _, fut, _ in group:
+                        if not fut.done():
+                            fut.set_exception(e)
+                while True:
+                    try:
+                        late = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if late is not None and not late[1].done():
+                        late[1].set_exception(e)
             raise

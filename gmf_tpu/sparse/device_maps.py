@@ -808,6 +808,61 @@ def _prune_and_pad_device(nbr, cap_in: int, kernel_volume: int,
     return nbr_ext[jnp.asarray(rows)], jnp.asarray(kept_pad)
 
 
+SPLIT_RANK_CAP = 6              # rows per src key kept src-side
+
+
+def plan_split_probe(c: np.ndarray):
+    """Separable SRC/TGT probe plan for one 6-D level's coordinates.
+
+    Returns ``(chains, chains_t, src_pass, src_mult, rank)``:
+    ``chains == 0`` → full 729-offset probe fallback; ``chains_t == 0``
+    → single src-side pass (src_pass is None); otherwise the two-pass
+    probe with ``src_pass`` as the float row-routing mask. ``rank`` is
+    each row's rank within its 3-D src cell (consumed by the
+    direct-address srcdense/srcrows tiers), ``src_mult`` the max cell
+    multiplicity.
+
+    This is THE plan ``build_pyramid_arrays_device`` ships; the probe
+    benchmarks (scripts/profile_probes.py, scripts/bench_split_probe.py)
+    call it too so they measure the live configuration instead of a
+    drifting replica.
+    """
+    _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
+                               return_counts=True)
+    gid = gid.reshape(-1)
+    order0 = np.argsort(gid, kind="stable")
+    sg0 = gid[order0]
+    starts0 = np.r_[0, np.nonzero(np.diff(sg0))[0] + 1]
+    seg0 = np.diff(np.r_[starts0, len(c)])
+    rank = np.empty(len(c), np.int32)
+    rank[order0] = (np.arange(len(c)) -
+                    np.repeat(starts0, seg0)).astype(np.int32)
+    mult = int(counts.max())
+    chains = -(-mult // 3)
+    # +1 chain of slack when duplicates exist: ceil(mult/3) is exactly
+    # tight, so a single slot-race loss to an unrelated key would leave
+    # a row unplaced and flip the WHOLE map to the sorted fallback
+    # (measured 6 s at 30k voxels — 50x the hash path). Three spare
+    # slots make that ~impossible.
+    chains = chains + 1 if chains >= 2 else chains
+    if chains <= 4:
+        return chains, 0, None, mult, rank
+    # two-pass routing: rows past SPLIT_RANK_CAP within their src cell
+    # go to TGT-part chained tables (6-D keys are unique, so excess rows
+    # almost always have low tgt-part multiplicity)
+    src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
+    excess = rank >= SPLIT_RANK_CAP
+    ch_s = SPLIT_RANK_CAP // 3 + 1              # slots cover cap + slack
+    if not excess.any():
+        return ch_s, 0, None, mult, rank
+    _, tcounts = np.unique(c[excess][:, 3:], axis=0, return_counts=True)
+    ch_t = -(-int(tcounts.max()) // 3)
+    ch_t = ch_t + 1 if ch_t >= 2 else ch_t
+    if ch_s + ch_t > 13:
+        return 0, 0, None, mult, rank           # full probe fallback
+    return ch_s, ch_t, src_pass, mult, rank
+
+
 def build_pyramid_arrays_device(
         coords: np.ndarray, num_levels: int, conv1_kernel_size: int = 3,
         dim: Optional[int] = None, region: str = "hypercube",
@@ -861,7 +916,6 @@ def build_pyramid_arrays_device(
     # (multiplicity 50+) on the cheap split probe instead of the
     # 13.5x-more-gathers full 729-offset probe (r3: level-2 self map
     # 1.18 s -> ~0.3 s at 22k voxels).
-    SPLIT_RANK_CAP = 6          # rows per src key kept src-side
     split_plan = []             # (chains, chains_t, src_pass or None)
     src_info = []               # (max src multiplicity, rank-in-cell [n])
     for l, c in enumerate(level_coords):
@@ -869,44 +923,9 @@ def build_pyramid_arrays_device(
             split_plan.append((0, 0, None))
             src_info.append(None)
             continue
-        _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
-                                   return_counts=True)
-        gid = gid.reshape(-1)
-        order0 = np.argsort(gid, kind="stable")
-        sg0 = gid[order0]
-        starts0 = np.r_[0, np.nonzero(np.diff(sg0))[0] + 1]
-        seg0 = np.diff(np.r_[starts0, len(c)])
-        rank0 = np.empty(len(c), np.int32)
-        rank0[order0] = (np.arange(len(c)) -
-                         np.repeat(starts0, seg0)).astype(np.int32)
-        src_info.append((int(counts.max()), rank0))
-        chains = -(-int(counts.max()) // 3)
-        # +1 chain of slack when duplicates exist: ceil(mult/3) is
-        # exactly tight, so a single slot-race loss to an unrelated
-        # key would leave a row unplaced and flip the WHOLE map to
-        # the sorted fallback (measured 6 s at 30k voxels — 50x the
-        # hash path). Three spare slots make that ~impossible.
-        chains = chains + 1 if chains >= 2 else chains
-        if chains <= 4:
-            split_plan.append((chains, 0, None))
-            continue
-        # two-pass routing: rank rows within their src-key group
-        # (rank0 above is exactly that rank — reuse it)
-        rank = rank0
-        src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
-        excess = rank >= SPLIT_RANK_CAP
-        ch_s = SPLIT_RANK_CAP // 3 + 1          # slots cover the cap + slack
-        if not excess.any():
-            split_plan.append((ch_s, 0, None))
-            continue
-        _, tcounts = np.unique(c[excess][:, 3:], axis=0,
-                               return_counts=True)
-        ch_t = -(-int(tcounts.max()) // 3)
-        ch_t = ch_t + 1 if ch_t >= 2 else ch_t
-        if ch_s + ch_t > 13:
-            split_plan.append((0, 0, None))     # full probe fallback
-        else:
-            split_plan.append((ch_s, ch_t, src_pass))
+        chains, chains_t, src_pass, mult, rank0 = plan_split_probe(c)
+        src_info.append((mult, rank0))
+        split_plan.append((chains, chains_t, src_pass))
 
     # Joint dense-table budget, set by GATHER RATE, not HBM. Measured on
     # this v5e (scripts/bench_gather_tiers.py, outputs/r3_tpu_sweep/

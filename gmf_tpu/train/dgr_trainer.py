@@ -127,12 +127,12 @@ class WeightedProcrustesTrainer:
     def _uniq_feats(self, pair, pred_pairs, F0, F1, first_idx, cap):
         """[cap, C] inlier-net input on unique 6-D voxels (first
         occurrence; zero pad rows)."""
+        if self.cfg.inlier_feature_type == "ones":
+            return jnp.ones((cap, 1), jnp.float32)
         corr_feats = inlier_input_features(
             self.cfg.inlier_feature_type, pair["pcd0"], pair["pcd1"],
             F0, F1, pred_pairs[:, 0], pred_pairs[:, 1])
         c = corr_feats.shape[1]
-        if self.cfg.inlier_feature_type == "ones":
-            return jnp.ones((cap, c), jnp.float32)
         uniq_feats = corr_feats[jnp.asarray(first_idx)]
         feats = jnp.zeros((cap, c), jnp.float32)
         return feats.at[: len(first_idx)].set(

@@ -66,17 +66,11 @@ def main():
     mask_d = jnp.asarray(mask)
     k3s = jnp.asarray(hypercube_offsets(3, 3, stride))
 
-    _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
-                               return_counts=True)
-    mult = int(counts.max())
-    order = np.argsort(gid.reshape(-1), kind="stable")
-    sg = gid.reshape(-1)[order]
-    starts = np.r_[0, np.nonzero(np.diff(sg))[0] + 1]
-    seg = np.diff(np.r_[starts, len(c)])
-    rank = np.empty(len(c), np.int64)
-    rank[order] = np.arange(len(c)) - np.repeat(starts, seg)
+    # the builder's live plan (device_maps.plan_split_probe) — rank and
+    # mult come from the same code register() runs
+    _ch, _cht, _sp, mult, rank = dm.plan_split_probe(c)
     print(f"backend: {jax.default_backend()}  level {l}: n={len(c)} "
-          f"cap={cap} src-mult={mult}")
+          f"cap={cap} src-mult={mult}  live plan: chains={_ch}+{_cht}")
 
     def timeit(fn):
         out = fn()
@@ -87,10 +81,9 @@ def main():
         np.asarray(out[:1, :1])
         return (time.perf_counter() - t0) / args.reps
 
-    SPLIT_RANK_CAP = 6
-    ch_s = SPLIT_RANK_CAP // 3 + 1
-    src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
-    excess = rank >= SPLIT_RANK_CAP
+    ch_s = dm.SPLIT_RANK_CAP // 3 + 1
+    src_pass = (rank < dm.SPLIT_RANK_CAP).astype(np.float32)
+    excess = rank >= dm.SPLIT_RANK_CAP
     _, tcounts = np.unique(c[excess][:, 3:], axis=0, return_counts=True)
     ch_t = -(-int(tcounts.max()) // 3) if excess.any() else 0
     ch_t = ch_t + 1 if ch_t >= 2 else ch_t

@@ -5,6 +5,13 @@ kernel-map probe of the 6-D pyramid is timed individually (with a host
 fetch as the sync point), plus primitive-rate microbenches (flat gather,
 table-build scatter, inversion scatter) so probe times can be compared
 against what the hardware should do.
+
+Scope: times the CHAINED-HASH split probes with the builder's live plan
+(device_maps.plan_split_probe) and lattice-shift keys. The builder may
+route individual maps to the direct-address srcdense/srcrows/dense
+tiers instead — those are measured by scripts/bench_gather_tiers.py and
+scripts/bench_compact_map.py; the full-pyramid number printed first is
+always the shipped configuration end to end.
 """
 
 from __future__ import annotations
@@ -92,55 +99,35 @@ def main():
         mask_l.append(jnp.asarray(
             (np.arange(cap) < len(c)).astype(np.float32)))
 
-    SPLIT_RANK_CAP = 6
-    plans = []
-    for l, c in enumerate(lc):
-        _, gid, counts = np.unique(c[:, :3], axis=0, return_inverse=True,
-                                   return_counts=True)
-        gid = gid.reshape(-1)
-        chains = -(-int(counts.max()) // 3)
-        chains = chains + 1 if chains >= 2 else chains
-        if chains <= 4:
-            plans.append((chains, 0, None))
-            continue
-        nl = len(c)
-        order = np.argsort(gid, kind="stable")
-        sg = gid[order]
-        starts = np.r_[0, np.nonzero(np.diff(sg))[0] + 1]
-        seg_len = np.diff(np.r_[starts, nl])
-        ranks_sorted = np.arange(nl) - np.repeat(starts, seg_len)
-        rank = np.empty(nl, np.int64)
-        rank[order] = ranks_sorted
-        src_pass = (rank < SPLIT_RANK_CAP).astype(np.float32)
-        excess = rank >= SPLIT_RANK_CAP
-        ch_s = SPLIT_RANK_CAP // 3 + 1
-        _, tcounts = np.unique(c[excess][:, 3:], axis=0, return_counts=True)
-        ch_t = -(-int(tcounts.max()) // 3)
-        ch_t = ch_t + 1 if ch_t >= 2 else ch_t
-        plans.append((ch_s, ch_t, src_pass))
+    # the builder's OWN plan — no drifting replica
+    plans = [dm.plan_split_probe(c) for c in lc]
 
     from gmf_tpu.sparse.kernel_map import hypercube_offsets
 
     def probe(l_in, l_out, t_stride):
-        chains, chains_t, src_pass = plans[l_in]
+        chains, chains_t, src_pass = plans[l_in][:3]
         in_c, out_c = lc[l_in], lc[l_out]
         slack = t_stride
+        shift = t_stride.bit_length() - 1  # lattice-shift keys (builder)
         k3s = jnp.asarray(hypercube_offsets(3, 3, t_stride))
         comp = (_int32_frame_fits(in_c[:, :3], out_c[:, :3], slack,
-                                  cap_l[l_in], with_rows=True)
+                                  cap_l[l_in], with_rows=True,
+                                  lattice=t_stride)
                 and _int32_frame_fits(in_c[:, 3:], out_c[:, 3:], slack,
-                                      cap_l[l_in], with_rows=chains_t > 0))
+                                      cap_l[l_in], with_rows=chains_t > 0,
+                                      lattice=t_stride))
         if chains_t:
             sp = np.zeros(cap_l[l_in], np.float32)
             sp[: len(src_pass)] = src_pass
             return dm.device_kernel_map_split2(
                 cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
                 mask_l[l_out], jnp.asarray(sp), sentinel=cap_l[l_in],
-                chains=chains, chains_t=chains_t, compact=comp)
+                chains=chains, chains_t=chains_t, compact=comp,
+                shift=shift)
         return dm.device_kernel_map_split(
             cpad_l[l_in], cpad_l[l_out], k3s, k3s, mask_l[l_in],
             mask_l[l_out], sentinel=cap_l[l_in], chains=chains,
-            compact=comp)
+            compact=comp, shift=shift)
 
     jobs = []
     for l in range(4):
@@ -148,7 +135,11 @@ def main():
         if l + 1 < 4:
             jobs.append((f"down_{l}", l, l + 1, 2 ** l))
     for name, li, lo, st in jobs:
-        ch, cht, _ = plans[li]
+        ch, cht = plans[li][0], plans[li][1]
+        if ch == 0:
+            print(f"  {name}: full-probe fallback in the live plan — "
+                  "not timed by this script")
+            continue
         t = timeit(lambda li=li, lo=lo, st=st: jax.device_get(
             probe(li, lo, st)[0, :8]))
         print(f"  {name}: {t * 1e3:7.1f} ms  (M={cap_l[lo]}, "

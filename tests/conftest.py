@@ -32,3 +32,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(51)  # the reference's eval seed
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip slow tests unless markers were chosen explicitly (-m).
+
+    Done here instead of an `addopts = -m 'not slow'` so that naming the
+    slow file directly (`pytest tests/test_train_eval_loop.py`) collects
+    and visibly SKIPS instead of deselecting everything and exiting 5.
+    """
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow closed-loop test — run with `pytest -m slow`")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -17,47 +17,13 @@ import numpy as np
 import pytest
 
 
-def _rigid_pair(rng, N=250, ang=0.3):
-    R = np.array([[np.cos(ang), -np.sin(ang), 0],
-                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
-    t = np.array([0.2, -0.1, 0.1], np.float32)
-    xyz0 = rng.rand(N, 3).astype(np.float32) * 2
-    xyz1 = (xyz0 @ R.T + t).astype(np.float32)
-    T = np.eye(4, dtype=np.float32)
-    T[:3, :3], T[:3, 3] = R, t
-    return xyz0, xyz1, T
-
-
-# ---------------------------------------------------------------------------
-# eval/test_dgr.py — raw clouds -> DeepGlobalRegistration.register()
-# ---------------------------------------------------------------------------
-
-
-@pytest.fixture
-def dgr_fixture_tree(tmp_path, rng):
-    import matplotlib.image as mpimg
-
-    from gmf_tpu.data.ply import write_ply
+def _tiny_dgr_checkpoints(tmp_path):
+    """Write tiny-net FCGF/inlier checkpoints matching the CLI's --tiny
+    widths; returns (fcgf_ckpt, inlier_ckpt) paths."""
     from gmf_tpu.sparse.kernel_map import build_pyramid
     from gmf_tpu.sparse.resunet import SparseResUNet2, pyramid_to_arrays
     from gmf_tpu.utils.checkpoint import save_checkpoint
 
-    scene = "7-scenes-redkitchen"
-    seq = tmp_path / scene / "seq-01"
-    os.makedirs(seq)
-    xyz0, xyz1, T = _rigid_pair(rng)
-    write_ply(str(seq / "cloud_bin_0.ply"), xyz0)
-    write_ply(str(seq / "cloud_bin_1.ply"), xyz1)
-    for i in range(2):
-        mpimg.imsave(seq / f"cloud_bin_{i}_0.png",
-                     (rng.rand(16, 16, 3) * 255).astype(np.uint8))
-    T_ts = np.linalg.inv(T.astype(np.float64))
-    with open(tmp_path / scene / "gt.log", "w") as f:
-        f.write("0 1 2\n")
-        for row in T_ts:
-            f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
-
-    # tiny-net checkpoints matching the CLI's --tiny widths
     fcgf = SparseResUNet2(in_channels=1, out_channels=8, dim=3,
                           conv1_kernel_size=3, normalize_feature=True,
                           channels=(4, 8, 16, 32), tr_channels=(8, 8, 8, 16))
@@ -82,6 +48,47 @@ def dgr_fixture_tree(tmp_path, rng):
     inlier_ckpt = str(tmp_path / "inlier_ckpt")
     save_checkpoint(fcgf_ckpt, dict(fv))
     save_checkpoint(inlier_ckpt, dict(iv))
+    return fcgf_ckpt, inlier_ckpt
+
+
+def _rigid_pair(rng, N=250, ang=0.3):
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.2, -0.1, 0.1], np.float32)
+    xyz0 = rng.rand(N, 3).astype(np.float32) * 2
+    xyz1 = (xyz0 @ R.T + t).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3], T[:3, 3] = R, t
+    return xyz0, xyz1, T
+
+
+# ---------------------------------------------------------------------------
+# eval/test_dgr.py — raw clouds -> DeepGlobalRegistration.register()
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def dgr_fixture_tree(tmp_path, rng):
+    import matplotlib.image as mpimg
+
+    from gmf_tpu.data.ply import write_ply
+
+    scene = "7-scenes-redkitchen"
+    seq = tmp_path / scene / "seq-01"
+    os.makedirs(seq)
+    xyz0, xyz1, T = _rigid_pair(rng)
+    write_ply(str(seq / "cloud_bin_0.ply"), xyz0)
+    write_ply(str(seq / "cloud_bin_1.ply"), xyz1)
+    for i in range(2):
+        mpimg.imsave(seq / f"cloud_bin_{i}_0.png",
+                     (rng.rand(16, 16, 3) * 255).astype(np.uint8))
+    T_ts = np.linalg.inv(T.astype(np.float64))
+    with open(tmp_path / scene / "gt.log", "w") as f:
+        f.write("0 1 2\n")
+        for row in T_ts:
+            f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
+
+    fcgf_ckpt, inlier_ckpt = _tiny_dgr_checkpoints(tmp_path)
     return str(tmp_path), fcgf_ckpt, inlier_ckpt, scene
 
 
@@ -121,10 +128,6 @@ def test_dgr_cli_kitti(tmp_path, rng, monkeypatch, caplog):
     """--dataset kitti: raw velodyne pairs through register()."""
     import matplotlib.image as mpimg
 
-    from gmf_tpu.sparse.kernel_map import build_pyramid
-    from gmf_tpu.sparse.resunet import SparseResUNet2, pyramid_to_arrays
-    from gmf_tpu.utils.checkpoint import save_checkpoint
-
     # KITTI layout: straight-line trajectory, same world cloud per frame
     seq_dir = tmp_path / "sequences" / "00"
     (seq_dir / "velodyne").mkdir(parents=True)
@@ -148,31 +151,7 @@ def test_dgr_cli_kitti(tmp_path, rng, monkeypatch, caplog):
         tr = np.eye(4)[:3, :4].reshape(-1)
         f.write("Tr: " + " ".join(f"{v:.6f}" for v in tr) + "\n")
 
-    # tiny-net checkpoints matching the CLI's --tiny widths
-    fcgf = SparseResUNet2(in_channels=1, out_channels=8, dim=3,
-                          conv1_kernel_size=3, normalize_feature=True,
-                          channels=(4, 8, 16, 32), tr_channels=(8, 8, 8, 16))
-    inlier = SparseResUNet2(in_channels=1, out_channels=1, dim=6,
-                            conv1_kernel_size=3, with_gmf_fusion=True,
-                            image_dim=16, channels=(4, 8, 16, 32),
-                            tr_channels=(8, 8, 8, 16))
-    r = np.random.RandomState(5)
-    c3 = np.unique(r.randint(0, 10, (80, 3)).astype(np.int32), axis=0)
-    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=3,
-                                         granule=256))
-    fv = fcgf.init(jax.random.PRNGKey(0),
-                   jnp.ones((a3["mask_0"].shape[0], 1)), a3)
-    c6 = np.unique(r.randint(0, 6, (60, 6)).astype(np.int32), axis=0)
-    a6 = pyramid_to_arrays(build_pyramid(c6, 4, conv1_kernel_size=3,
-                                         granule=256))
-    img = jnp.zeros((1, 16, 16, 3))
-    iv = inlier.init(jax.random.PRNGKey(1),
-                     jnp.ones((a6["mask_0"].shape[0], 1)), a6,
-                     p_image=img, q_image=img)
-    fcgf_ckpt = str(tmp_path / "fcgf_ckpt")
-    inlier_ckpt = str(tmp_path / "inlier_ckpt")
-    save_checkpoint(fcgf_ckpt, dict(fv))
-    save_checkpoint(inlier_ckpt, dict(iv))
+    fcgf_ckpt, inlier_ckpt = _tiny_dgr_checkpoints(tmp_path)
 
     from gmf_tpu.eval import test_dgr
 
