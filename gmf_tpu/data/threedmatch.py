@@ -209,6 +209,13 @@ class ThreeDMatchTest:
                 "src_desc": src_feat.astype(np.float32),
                 "tgt_desc": tgt_feat.astype(np.float32),
             }
+            if self.num_node == "all":
+                # stable per-fragment identity -> the registrar's device
+                # fragment cache ships each fragment over H2D once
+                # (random num_node subsampling makes arrays pair-specific,
+                # so no key is attached then)
+                sample["src_key"] = os.path.join(base, f"cloud_bin_{src_id}")
+                sample["tgt_key"] = os.path.join(base, f"cloud_bin_{tgt_id}")
         else:
             sample = build_correspondences(
                 src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),
@@ -295,6 +302,11 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
                 "src_desc": src_feat.astype(np.float32),
                 "tgt_desc": tgt_feat.astype(np.float32),
             }
+            if self.num_node == "all" or (
+                    len(src_keypts) <= self.num_node
+                    and len(tgt_keypts) <= self.num_node):
+                sample["src_key"] = resolve(src_path)
+                sample["tgt_key"] = resolve(tgt_path)
         else:
             sample = build_correspondences(
                 src_keypts.astype(np.float32), tgt_keypts.astype(np.float32),

@@ -26,6 +26,64 @@ import numpy as np
 from gmf_tpu.data.collate import BUCKETS, next_bucket, pad_to_bucket
 
 
+class DeviceFragmentCache:
+    """Device-resident fragment arrays for the raw-descriptor eval path.
+
+    On this class of deployment the host→device link is the eval
+    bottleneck, not compute: each raw-path pair ships two descriptor
+    stacks plus two images (~2 MB/pair at 5k points), and in the real
+    3DMatch/LoMatch benchmarks every fragment participates in many pairs
+    (redkitchen: 60 fragments, 506 pairs — ~17 pairs per fragment). The
+    reference's eval loop re-reads and re-ships both fragments for every
+    pair (evaluation/test_3DMatch.py:24-119, via ThreeDMatch.py:163-217);
+    here each fragment's padded (keypts, desc, mask) and image are
+    ``jax.device_put`` ONCE and batches are assembled by stacking cached
+    device arrays, so steady-state H2D is just the [4,4] GT transforms.
+
+    Keys are (fragment_id, bucket) — the same fragment padded to two
+    different buckets is two entries (cheap; LRU evicts). Eviction is
+    least-recently-used by total byte budget. Thread-safe.
+    """
+
+    def __init__(self, max_bytes: int = 4 << 30):
+        import threading
+        from collections import OrderedDict
+
+        self.max_bytes = int(max_bytes)
+        self._store = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key, build):
+        """Return the cached device pytree for ``key``, building (and
+        device_put-ing) it from ``build() -> host pytree`` on miss."""
+        with self._lock:
+            if key in self._store:
+                self._store.move_to_end(key)
+                self.hits += 1
+                return self._store[key][0]
+        host = build()
+        entry = jax.device_put(host)
+        nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(host))
+        with self._lock:
+            if key in self._store:  # raced with another builder: keep first
+                self._store.move_to_end(key)
+                self.hits += 1
+                return self._store[key][0]
+            self.misses += 1
+            self._store[key] = (entry, nbytes)
+            self._bytes += nbytes
+            while self._bytes > self.max_bytes and len(self._store) > 1:
+                _, (_, old_bytes) = self._store.popitem(last=False)
+                self._bytes -= old_bytes
+        return entry
+
+    def __len__(self):
+        return len(self._store)
+
+
 class PointDSCRegistrar:
     """Jitted per-bucket PointDSC inference.
 
@@ -39,11 +97,13 @@ class PointDSCRegistrar:
 
     def __init__(self, model, variables, buckets: Sequence[int] = BUCKETS,
                  mesh=None, match_inlier_threshold: float = 0.10,
-                 match_mutual: bool = True, match_in_dim: int = 6):
+                 match_mutual: bool = True, match_in_dim: int = 6,
+                 frag_cache: Optional[DeviceFragmentCache] = None):
         self.model = model
         self.variables = variables
         self.buckets = buckets
         self.mesh = mesh
+        self.frag_cache = frag_cache
 
         def _register(variables, corr_pos, src, tgt, p_img, q_img, mask):
             out = model.apply(variables, corr_pos, src, tgt, p_img, q_img,
@@ -231,25 +291,63 @@ class PointDSCRegistrar:
             out[: len(x)] = x
             return out
 
-        def stack_side(key, bucket):
-            return jnp.asarray(np.stack(
-                [pad_rows(samples[i][key], bucket) for i in idx]))
+        cache = self.frag_cache
+        if cache is not None and all(
+                "src_key" in s and "tgt_key" in s for s in samples):
+            # fragment-cached assembly: each fragment's padded arrays and
+            # image cross the host→device link once; batches are stacks
+            # of device-resident arrays (H2D per batch = gt_trans only)
+            def side_entry(i, prefix, bucket):
+                s = samples[i]
 
-        mask_s = np.zeros((b, bs), np.float32)
-        mask_t = np.zeros((b, bt), np.float32)
-        for row, i in enumerate(idx):
-            mask_s[row, : samples[i]["src_keypts"].shape[0]] = 1.0
-            mask_t[row, : samples[i]["tgt_keypts"].shape[0]] = 1.0
-        args = (
-            stack_side("src_keypts", bs), stack_side("tgt_keypts", bt),
-            stack_side("src_desc", bs), stack_side("tgt_desc", bt),
-            jnp.asarray(np.stack(
-                [np.asarray(samples[i]["gt_trans"], np.float32)
-                 for i in idx])),
-            jnp.asarray(np.stack([samples[i]["p_image"] for i in idx])),
-            jnp.asarray(np.stack([samples[i]["q_image"] for i in idx])),
-            jnp.asarray(mask_s), jnp.asarray(mask_t),
-        )
+                def build(s=s, prefix=prefix, bucket=bucket):
+                    k = np.asarray(s[prefix + "_keypts"], np.float32)
+                    return {
+                        "keypts": pad_rows(k, bucket),
+                        "desc": pad_rows(s[prefix + "_desc"], bucket),
+                        "mask": (np.arange(bucket) < len(k)
+                                 ).astype(np.float32),
+                        "image": np.asarray(
+                            s["p_image" if prefix == "src" else "q_image"],
+                            np.float32),
+                    }
+                return cache.get((s[prefix + "_key"], bucket), build)
+
+            es = [side_entry(i, "src", bs) for i in idx]
+            et = [side_entry(i, "tgt", bt) for i in idx]
+            args = (
+                jnp.stack([e["keypts"] for e in es]),
+                jnp.stack([e["keypts"] for e in et]),
+                jnp.stack([e["desc"] for e in es]),
+                jnp.stack([e["desc"] for e in et]),
+                jnp.asarray(np.stack(
+                    [np.asarray(samples[i]["gt_trans"], np.float32)
+                     for i in idx])),
+                jnp.stack([e["image"] for e in es]),
+                jnp.stack([e["image"] for e in et]),
+                jnp.stack([e["mask"] for e in es]),
+                jnp.stack([e["mask"] for e in et]),
+            )
+        else:
+            def stack_side(key, bucket):
+                return jnp.asarray(np.stack(
+                    [pad_rows(samples[i][key], bucket) for i in idx]))
+
+            mask_s = np.zeros((b, bs), np.float32)
+            mask_t = np.zeros((b, bt), np.float32)
+            for row, i in enumerate(idx):
+                mask_s[row, : samples[i]["src_keypts"].shape[0]] = 1.0
+                mask_t[row, : samples[i]["tgt_keypts"].shape[0]] = 1.0
+            args = (
+                stack_side("src_keypts", bs), stack_side("tgt_keypts", bt),
+                stack_side("src_desc", bs), stack_side("tgt_desc", bt),
+                jnp.asarray(np.stack(
+                    [np.asarray(samples[i]["gt_trans"], np.float32)
+                     for i in idx])),
+                jnp.asarray(np.stack([samples[i]["p_image"] for i in idx])),
+                jnp.asarray(np.stack([samples[i]["q_image"] for i in idx])),
+                jnp.asarray(mask_s), jnp.asarray(mask_t),
+            )
         if self.mesh is not None:
             res = self._get_raw_sharded()(self._variables_repl, *args)
         else:

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--device-match", action="store_true",
                     help="build correspondences on device inside the "
                          "registration dispatch")
+    ap.add_argument("--frag-cache-mb", type=int, default=4096,
+                    help="device fragment-cache budget for --device-match "
+                         "(MB); 0 disables")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -80,7 +83,13 @@ def main():
         from gmf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh)
-    registrar = PointDSCRegistrar(model, variables, mesh=mesh)
+    frag_cache = None
+    if args.device_match and args.frag_cache_mb:
+        from gmf_tpu.eval.registration import DeviceFragmentCache
+
+        frag_cache = DeviceFragmentCache(args.frag_cache_mb << 20)
+    registrar = PointDSCRegistrar(model, variables, mesh=mesh,
+                                  frag_cache=frag_cache)
     from gmf_tpu.eval.solvers import make_register_fn
 
     register_fn = make_register_fn(registrar)

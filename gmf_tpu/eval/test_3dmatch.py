@@ -65,6 +65,11 @@ def main():
                          "the registration dispatch (mutual 1-NN + labels "
                          "+ corr_pos encoding) instead of on the host — "
                          "removes the per-pair host matching cost")
+    ap.add_argument("--frag-cache-mb", type=int, default=4096,
+                    help="device fragment-cache budget for --device-match "
+                         "(MB): each fragment's descriptors/image cross "
+                         "host->device once and pairs are assembled from "
+                         "device-resident arrays; 0 disables")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -97,10 +102,15 @@ def main():
         from gmf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh)
+    frag_cache = None
+    if args.device_match and args.frag_cache_mb:
+        from gmf_tpu.eval.registration import DeviceFragmentCache
+
+        frag_cache = DeviceFragmentCache(args.frag_cache_mb << 20)
     registrar = PointDSCRegistrar(
         model, variables, mesh=mesh,
         match_inlier_threshold=args.inlier_threshold,
-        match_mutual=args.use_mutual)
+        match_mutual=args.use_mutual, frag_cache=frag_cache)
     register_fn = make_register_fn(registrar, solver=args.solver,
                                    use_icp=args.use_icp,
                                    inlier_threshold=args.inlier_threshold)

@@ -92,6 +92,63 @@ def build_fixture(root: str, pairs: int, points: int, feat_dim: int,
         f.write("\n".join(gt_lines) + "\n")
 
 
+def build_reuse_fixture(root: str, frags: int, window: int, points: int,
+                        feat_dim: int, inlier_ratio: float, image_hw,
+                        seed: int = 0) -> int:
+    """``frags`` fragments of ONE base cloud, pairs (i, j) for
+    0 < j - i <= window — the real 3DMatch pair structure (redkitchen:
+    60 fragments, 506 pairs, each fragment in ~17 pairs), which is what
+    the registrar's device fragment cache exploits. Returns #pairs.
+
+    Fragment i is the base cloud under rigid T_i with a per-fragment
+    scrambled subset (so pair (i, j) inliers = points scrambled in
+    NEITHER, hitting ~inlier_ratio on average); descriptors are the same
+    mutual-unique rows in every fragment.
+    """
+    rng = np.random.RandomState(seed)
+    seq = os.path.join(root, SCENE, "seq-01")
+    os.makedirs(seq, exist_ok=True)
+    import matplotlib.image as mpimg
+
+    base = rng.rand(points, 3).astype(np.float32) * 3.0
+    feat = rng.randn(points, feat_dim).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True) + 1e-12
+    # per-fragment scramble rate r with (1-r)^2 = inlier_ratio
+    scramble = 1.0 - np.sqrt(inlier_ratio)
+    Ts = []
+    for i in range(frags):
+        ang = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3], T[:3, 3] = R, t
+        Ts.append(T)
+        xyz = (base @ R.T + t).astype(np.float32)
+        n_out = int(points * scramble)
+        out_idx = rng.choice(points, n_out, replace=False)
+        xyz[out_idx] = (rng.rand(n_out, 3).astype(np.float32) * 3.0
+                        ) @ R.T + t
+        np.savez(os.path.join(seq, f"cloud_bin_{i}_fcgf.npz"),
+                 xyz=xyz, feature=feat)
+        mpimg.imsave(os.path.join(seq, f"cloud_bin_{i}_0.png"),
+                     (rng.rand(*image_hw, 3) * 255).astype(np.uint8))
+    gt_lines = []
+    n_pairs = 0
+    for i in range(frags):
+        for j in range(i + 1, min(i + 1 + window, frags)):
+            # gt.log stores target->source (ThreeDMatch.py:363); the
+            # src->tgt map is T_j @ inv(T_i)
+            T_ts = Ts[i] @ np.linalg.inv(Ts[j])
+            gt_lines.append(f"{i} {j} {frags}")
+            for row in T_ts:
+                gt_lines.append(" ".join(f"{v:.10f}" for v in row))
+            n_pairs += 1
+    with open(os.path.join(root, SCENE, "gt.log"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+    return n_pairs
+
+
 def make_checkpoint(path: str, tiny: bool) -> None:
     import jax
     import jax.numpy as jnp
@@ -118,6 +175,14 @@ def make_checkpoint(path: str, tiny: bool) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=64)
+    ap.add_argument("--frags", type=int, default=0,
+                    help="reuse-fixture mode: this many fragments with "
+                         "--window pairs each (real 3DMatch structure); "
+                         "overrides --pairs")
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--frag-cache-mb", type=int, default=None,
+                    help="forwarded to the CLI (0 disables the device "
+                         "fragment cache)")
     ap.add_argument("--points", type=int, default=5000)
     ap.add_argument("--feat-dim", type=int, default=32)
     ap.add_argument("--inlier-ratio", type=float, default=0.4)
@@ -162,7 +227,8 @@ def main():
     # fixture (e.g. fewer pairs) would silently corrupt the measurement
     fix_params = {"pairs": args.pairs, "points": args.points,
                   "feat_dim": args.feat_dim,
-                  "inlier_ratio": args.inlier_ratio}
+                  "inlier_ratio": args.inlier_ratio,
+                  "frags": args.frags, "window": args.window}
     params_path = os.path.join(root, "fixture_params.json")
     fresh = not os.path.exists(os.path.join(root, SCENE, "gt.log"))
     if not fresh:
@@ -176,11 +242,22 @@ def main():
             shutil.rmtree(os.path.join(root, SCENE), ignore_errors=True)
     if fresh:
         t0 = time.perf_counter()
-        build_fixture(root, args.pairs, args.points, args.feat_dim,
-                      args.inlier_ratio, image_hw=(120, 160))
+        if args.frags:
+            args.pairs = build_reuse_fixture(
+                root, args.frags, args.window, args.points, args.feat_dim,
+                args.inlier_ratio, image_hw=(120, 160))
+            print(f"reuse fixture: {args.frags} fragments, "
+                  f"{args.pairs} pairs")
+        else:
+            build_fixture(root, args.pairs, args.points, args.feat_dim,
+                          args.inlier_ratio, image_hw=(120, 160))
         with open(params_path, "w") as f:
             json.dump(fix_params, f)
         print(f"fixture built in {time.perf_counter() - t0:.1f} s -> {root}")
+    elif args.frags:
+        args.pairs = sum(1 for i in range(args.frags)
+                         for _ in range(i + 1,
+                                        min(i + 1 + args.window, args.frags)))
     ckpt = os.path.join(root, "ckpt_tiny" if args.tiny else "ckpt")
     if not os.path.isdir(ckpt):
         make_checkpoint(ckpt, args.tiny)
@@ -196,6 +273,8 @@ def main():
         argv += ["--mesh", str(args.mesh)]
     if args.device_match:
         argv += ["--device-match"]
+    if args.frag_cache_mb is not None:
+        argv += ["--frag-cache-mb", str(args.frag_cache_mb)]
     if args.workers:
         argv += ["--workers", str(args.workers)]
     if args.inflight > 1:

@@ -231,3 +231,113 @@ def test_inflight_pipeline_raw_path(setup):
     # writeback happened on both (samples gained matched rows + labels)
     for s in pairs_a + pairs_b:
         assert "labels" in s and len(s["src_keypts"]) == len(s["labels"])
+
+
+def assert_rows_match_scaled(a, b):
+    """Like assert_rows_match, but TE gets a relative term too: the
+    fragment-chain pairs below carry metre-scale translations, where
+    reduction-order float noise exceeds a fixed 1e-3 cm."""
+    np.testing.assert_array_equal(a[:, DISCRETE], b[:, DISCRETE])
+    np.testing.assert_allclose(a[:, 1], b[:, 1], rtol=0, atol=0.02)
+    np.testing.assert_allclose(a[:, 2], b[:, 2], rtol=1e-4, atol=1e-3)
+
+
+def _fragment_pairs(rng, n_frag=4, N=120, D=16):
+    """Raw-descriptor pairs that SHARE fragments (the real 3DMatch
+    pattern: redkitchen is 60 fragments in 506 pairs) so the device
+    fragment cache has reuse to exploit."""
+    base = rng.rand(N, 3).astype(np.float32) * 2
+    desc = rng.randn(N, D).astype(np.float32)
+    frags = []
+    for i in range(n_frag):
+        ang = 0.4 * i
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        t = rng.rand(3).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3], T[:3, 3] = R, t
+        frags.append({
+            "keypts": (base @ R.T + t).astype(np.float32),
+            "desc": (desc + 0.05 * rng.randn(N, D)).astype(np.float32),
+            "image": rng.rand(24, 32, 3).astype(np.float32),
+            "T": T,
+        })
+    pairs = []
+    for (i, j) in [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3), (0, 3), (2, 1)]:
+        fi, fj = frags[i], frags[j]
+        pairs.append({
+            "src_keypts": fi["keypts"], "tgt_keypts": fj["keypts"],
+            "src_desc": fi["desc"], "tgt_desc": fj["desc"],
+            "gt_trans": (fj["T"] @ np.linalg.inv(fi["T"])).astype(np.float32),
+            "p_image": fi["image"], "q_image": fj["image"],
+            "src_key": f"frag_{i}", "tgt_key": f"frag_{j}",
+        })
+    return pairs
+
+
+def test_fragment_cache_matches_uncached(setup):
+    """Raw path with the device fragment cache: identical stats rows to
+    the uncached raw path, with each fragment device_put once."""
+    from gmf_tpu.eval.registration import DeviceFragmentCache
+
+    model, variables, _ = setup
+    rng = np.random.RandomState(11)
+    pairs_a = _fragment_pairs(rng)
+    rng = np.random.RandomState(11)
+    pairs_b = _fragment_pairs(rng)
+
+    reg_plain = PointDSCRegistrar(model, variables, buckets=(256,))
+    base = _rows(make_register_fn(reg_plain), pairs_a, batch_size=3)
+
+    cache = DeviceFragmentCache()
+    reg_cached = PointDSCRegistrar(model, variables, buckets=(256,),
+                                   frag_cache=cache)
+    cached = _rows(make_register_fn(reg_cached), pairs_b, batch_size=3)
+    assert_rows_match_scaled(cached, base)
+    # 4 fragments, 7 pairs => 14 side lookups, only 4 misses
+    assert cache.misses == 4 and cache.hits == 10
+    assert len(cache) == 4
+
+
+def test_fragment_cache_sharded(setup):
+    """Cache + mesh-sharded raw dispatch on the 8-virtual-device mesh."""
+    from gmf_tpu.eval.registration import DeviceFragmentCache
+
+    model, variables, _ = setup
+    rng = np.random.RandomState(12)
+    pairs_a = _fragment_pairs(rng)
+    rng = np.random.RandomState(12)
+    pairs_b = _fragment_pairs(rng)
+
+    reg_plain = PointDSCRegistrar(model, variables, buckets=(256,))
+    base = _rows(make_register_fn(reg_plain), pairs_a, batch_size=4)
+
+    mesh = make_mesh(n_data=4)
+    cache = DeviceFragmentCache()
+    reg = PointDSCRegistrar(model, variables, buckets=(256,), mesh=mesh,
+                            frag_cache=cache)
+    rows = _rows(make_register_fn(reg), pairs_b, batch_size=4, inflight=2)
+    assert_rows_match_scaled(rows, base)
+    assert cache.misses == 4
+
+
+def test_fragment_cache_eviction(setup):
+    """A tiny byte budget forces LRU eviction; results stay correct."""
+    from gmf_tpu.eval.registration import DeviceFragmentCache
+
+    model, variables, _ = setup
+    rng = np.random.RandomState(13)
+    pairs_a = _fragment_pairs(rng)
+    rng = np.random.RandomState(13)
+    pairs_b = _fragment_pairs(rng)
+
+    reg_plain = PointDSCRegistrar(model, variables, buckets=(256,))
+    base = _rows(make_register_fn(reg_plain), pairs_a, batch_size=2)
+
+    one_entry = 256 * (3 + 16 + 1) * 4 + 24 * 32 * 3 * 4 + 64
+    cache = DeviceFragmentCache(max_bytes=2 * one_entry)
+    reg = PointDSCRegistrar(model, variables, buckets=(256,),
+                            frag_cache=cache)
+    rows = _rows(make_register_fn(reg), pairs_b, batch_size=2)
+    assert_rows_match_scaled(rows, base)
+    assert len(cache) <= 2 and cache.misses > 4  # rebuilt after eviction
