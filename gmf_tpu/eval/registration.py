@@ -132,6 +132,22 @@ class PointDSCRegistrar:
 
         self._register_raw_impl = _register_raw
         self._register_raw = jax.jit(_register_raw)
+
+        # fragment-cache batch assembly: ALL the stacking happens inside
+        # ONE jitted call — eager per-op dispatch through a TPU relay
+        # costs ~130 ms per multi-operand op regardless of size, so eight
+        # eager jnp.stack calls would cost more than the transfers the
+        # cache saves (measured: 8 eager stacks ~1 s/batch vs 35 ms for
+        # this single 512-arg dispatch at b=64)
+        def _assemble(src_es, tgt_es):
+            def stk(es, k):
+                return jnp.stack([e[k] for e in es])
+            return (stk(src_es, "keypts"), stk(tgt_es, "keypts"),
+                    stk(src_es, "desc"), stk(tgt_es, "desc"),
+                    stk(src_es, "image"), stk(tgt_es, "image"),
+                    stk(src_es, "mask"), stk(tgt_es, "mask"))
+
+        self._assemble_frags = jax.jit(_assemble)
         self._register_raw_sharded = None  # built on first sharded raw call
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -315,19 +331,11 @@ class PointDSCRegistrar:
 
             es = [side_entry(i, "src", bs) for i in idx]
             et = [side_entry(i, "tgt", bt) for i in idx]
-            args = (
-                jnp.stack([e["keypts"] for e in es]),
-                jnp.stack([e["keypts"] for e in et]),
-                jnp.stack([e["desc"] for e in es]),
-                jnp.stack([e["desc"] for e in et]),
-                jnp.asarray(np.stack(
-                    [np.asarray(samples[i]["gt_trans"], np.float32)
-                     for i in idx])),
-                jnp.stack([e["image"] for e in es]),
-                jnp.stack([e["image"] for e in et]),
-                jnp.stack([e["mask"] for e in es]),
-                jnp.stack([e["mask"] for e in et]),
-            )
+            sk, tk, sd, td, pi, qi, ms, mt = self._assemble_frags(es, et)
+            gt = jnp.asarray(np.stack(
+                [np.asarray(samples[i]["gt_trans"], np.float32)
+                 for i in idx]))
+            args = (sk, tk, sd, td, gt, pi, qi, ms, mt)
         else:
             def stack_side(key, bucket):
                 return jnp.asarray(np.stack(
