@@ -44,6 +44,11 @@ def main():
                          "while pair k waits on device fetches. Results "
                          "are per-pair independent and identical to "
                          "serial; improves eval WALL throughput only")
+    ap.add_argument("--frag-cache", type=int, default=256,
+                    help="per-fragment feature-cache budget in MB (0 "
+                         "disables): voxelization + FCGF features are "
+                         "reused across the pairs a fragment appears in; "
+                         "results are bit-identical either way")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -89,7 +94,8 @@ def main():
                   inlier_feature_type=tcfg.inlier_feature_type,
                   **({"voxel_cap_granule": 256, "corr_cap_granule": 256}
                      if args.tiny else {})),
-        fcgf_model=fcgf_model, inlier_model=inlier_model)
+        fcgf_model=fcgf_model, inlier_model=inlier_model,
+        frag_cache_bytes=args.frag_cache * (1 << 20))
 
     rows = []
     if args.dataset == "3dmatch":
@@ -166,6 +172,13 @@ def main():
         log.info(f"{scene} {key}: {'OK' if ok else 'FAIL'} "
                  f"rre={rre:.2f} rte={rte:.3f}")
 
+    def frag_keys(item):
+        # key is "<i>_<j>" (3DMatch fragment ids / KITTI frame ids);
+        # scope by scene so ids never collide across scenes/sequences
+        _si, scene, key = item[:3]
+        a, b = key.split("_")
+        return {"cache_key0": f"{scene}:{a}", "cache_key1": f"{scene}:{b}"}
+
     items = _iter_with_data_time(loader, args.workers)
     if args.overlap > 1:
         import collections
@@ -175,7 +188,7 @@ def main():
             inflight = collections.deque()
             for item, _dt in items:
                 inflight.append((item, ex.submit(
-                    engine.register, *item[3:7])))
+                    engine.register, *item[3:7], **frag_keys(item))))
                 if len(inflight) >= args.overlap:
                     it, fut = inflight.popleft()
                     process(it, fut.result())
@@ -184,7 +197,7 @@ def main():
                 process(it, fut.result())
     else:
         for item, _dt in items:
-            process(item, engine.register(*item[3:7]))
+            process(item, engine.register(*item[3:7], **frag_keys(item)))
 
     stats = np.asarray(rows)
     recall = stats[:, 0].mean() * 100
@@ -192,7 +205,9 @@ def main():
     log.info(f"All {len(stats)} pairs, recall={recall:.2f}% "
              f"rre={ok[:, 1].mean() if len(ok) else float('nan'):.2f} "
              f"rte={ok[:, 2].mean() if len(ok) else float('nan'):.3f} "
-             f"safeguard used {stats[:, 4].mean() * 100:.1f}%")
+             f"safeguard used {stats[:, 4].mean() * 100:.1f}%"
+             + (f", frag-cache hits {engine.frag_cache_hits}/"
+                f"{2 * len(stats)}" if args.frag_cache else ""))
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "dgr_stats.npy"), stats)
 

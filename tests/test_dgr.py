@@ -76,7 +76,7 @@ class TestSE3Refine:
         np.testing.assert_allclose(np.asarray(T)[:3, :3], R, atol=2e-2)
 
 
-def tiny_engine(rng_key=0, feat_type="ones"):
+def tiny_engine(rng_key=0, feat_type="ones", **engine_kw):
     """DGR engine with tiny nets + tiny buckets for CPU tests."""
     from gmf_tpu.models.dgr import inlier_input_feature_dim
 
@@ -108,7 +108,8 @@ def tiny_engine(rng_key=0, feat_type="ones"):
                      jnp.ones((pyr6.levels[0].cap, in_ch)), arrays6,
                      p_image=img, q_image=img)
     return DeepGlobalRegistration(fv, iv, cfg, fcgf_model=fcgf,
-                                  inlier_model=inlier, fcgf_dim=fcgf_dim)
+                                  inlier_model=inlier, fcgf_dim=fcgf_dim,
+                                  **engine_kw)
 
 
 class TestDGREngine:
@@ -124,6 +125,37 @@ class TestDGREngine:
         assert res["trans"].shape == (4, 4)
         assert np.all(np.isfinite(res["trans"]))
         assert res["weights"].ndim == 1
+
+    def test_frag_cache_bit_identical_and_hits(self, rng):
+        """The per-fragment cache changes nothing but the work done:
+        pairs over shared fragments produce bit-identical results, and
+        repeated fragments hit the cache."""
+        eng_plain = tiny_engine()
+        eng_cache = tiny_engine(frag_cache_bytes=64 << 20)
+        ang = 0.25
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        frags = {name: rng.rand(250, 3).astype(np.float32)
+                 for name in "ABC"}
+        frags["B"] = frags["A"] @ R.T + np.float32([0.2, 0.0, 0.1])
+        img = np.zeros((1, 16, 16, 3), np.float32)
+        pairs = [("A", "B"), ("A", "C"), ("B", "C")]
+        for a, b in pairs:
+            r0 = eng_plain.register(frags[a], frags[b], img, img)
+            r1 = eng_cache.register(frags[a], frags[b], img, img,
+                                    cache_key0=a, cache_key1=b)
+            assert np.array_equal(r0["trans"], r1["trans"])
+            assert np.array_equal(r0["weights"], r1["weights"])
+            assert np.array_equal(r0["corres"][0], r1["corres"][0])
+            assert np.array_equal(r0["corres"][1], r1["corres"][1])
+        # (A,B) misses both; (A,C) hits A; (B,C) hits B and C
+        assert eng_cache.frag_cache_hits == 3
+        # budget eviction: a tiny budget keeps the cache bounded
+        eng_small = tiny_engine(frag_cache_bytes=1)
+        for a, b in pairs:
+            eng_small.register(frags[a], frags[b], img, img,
+                               cache_key0=a, cache_key1=b)
+        assert len(eng_small._frag_cache) <= 1
 
     def test_safeguard_recovers_transform(self, rng):
         engine = tiny_engine()
