@@ -130,6 +130,11 @@ def match_descriptors_device(src_keypts, tgt_keypts, src_desc, tgt_desc,
     return {
         "corr_pos": corr_pos, "src_keypts": src_sel, "tgt_keypts": tgt_sel,
         "labels": labels, "corr_mask": corr_mask,
+        # int32 match indices: lets callers reconstruct the matched rows
+        # host-side from arrays they already hold, fetching [N] int32
+        # instead of two [N, 3] f32 coordinate blocks (D2H on this box's
+        # tunnel is ~34 MB/s — fetch bytes are wall time)
+        "src_idx": src_idx.astype(jnp.int32),
     }
 
 

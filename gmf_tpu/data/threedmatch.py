@@ -64,22 +64,77 @@ def load_gt_log(scene_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+class _HostLRU:
+    """Process-wide byte-budgeted LRU of per-fragment host arrays.
+
+    Every fragment in a 3DMatch eval set appears in many pairs
+    (redkitchen: 60 fragments, 506 pairs), so re-reading / re-decoding
+    its npz + image per pair is the dominant host data cost once
+    matching runs on device. Cached arrays are returned READ-ONLY; all
+    consumers copy (``astype`` / fancy indexing / augmentation), so an
+    accidental in-place write fails loudly instead of corrupting
+    neighbouring samples. Thread-safe (harness ``--workers`` prefetch).
+    Budget: ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables).
+    """
+
+    def __init__(self, max_bytes: int):
+        import threading
+        from collections import OrderedDict
+
+        self.max_bytes = int(max_bytes)
+        self._store = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, key, build):
+        if self.max_bytes <= 0:
+            return build()
+        with self._lock:
+            if key in self._store:
+                self._store.move_to_end(key)
+                return self._store[key][0]
+        val = build()
+        arrs = val if isinstance(val, tuple) else (val,)
+        for a in arrs:
+            a.setflags(write=False)
+        nb = sum(a.nbytes for a in arrs)
+        with self._lock:
+            if key not in self._store:
+                self._store[key] = (val, nb)
+                self._bytes += nb
+                while self._bytes > self.max_bytes and len(self._store) > 1:
+                    _, (_, old_nb) = self._store.popitem(last=False)
+                    self._bytes -= old_nb
+        return val
+
+
+_io_cache = _HostLRU(
+    int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
+
+
 def _load_descriptors(path_base: str, descriptor: str):
-    data = np.load(f"{path_base}_{descriptor}.npz")
-    xyz = data["xyz"].astype(np.float32)
-    feat = data["feature"].astype(np.float32)
-    if descriptor == "fpfh":
-        feat = np.nan_to_num(feat)
-        feat = feat / (np.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
-    return xyz, feat
+    def build():
+        data = np.load(f"{path_base}_{descriptor}.npz")
+        xyz = data["xyz"].astype(np.float32)
+        feat = data["feature"].astype(np.float32)
+        if descriptor == "fpfh":
+            feat = np.nan_to_num(feat)
+            feat = feat / (np.linalg.norm(feat, axis=1, keepdims=True)
+                           + 1e-6)
+        return xyz, feat
+
+    return _io_cache.get(("desc", path_base, descriptor), build)
 
 
 def _load_frame_image(path_base: str, image_hw):
-    for ext in ("_0.png", "_0.jpg"):
-        p = path_base + ext
-        if os.path.exists(p):
-            return load_image(p, *image_hw)
-    raise FileNotFoundError(f"no image for {path_base}")
+    def build():
+        for ext in ("_0.png", "_0.jpg"):
+            p = path_base + ext
+            if os.path.exists(p):
+                return load_image(p, *image_hw)
+        raise FileNotFoundError(f"no image for {path_base}")
+
+    return _io_cache.get(("img", path_base, tuple(image_hw)), build)
 
 
 class ThreeDMatchTrainVal:

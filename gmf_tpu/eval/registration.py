@@ -127,8 +127,12 @@ class PointDSCRegistrar:
             out = model.apply(variables, m["corr_pos"], m["src_keypts"],
                               m["tgt_keypts"], p_img, q_img, testing=True,
                               corr_mask=m["corr_mask"])
-            return (out["final_trans"], out["final_labels"], m["labels"],
-                    m["corr_mask"], m["src_keypts"], m["tgt_keypts"])
+            # compact fetch: labels/corr_mask as bool and the int32 match
+            # indices — the host reconstructs the matched coordinate rows
+            # from its own copies (D2H drops ~11 MB -> ~3 MB per b=64
+            # batch on this box's 34 MB/s tunnel)
+            return (out["final_trans"], out["final_labels"],
+                    m["labels"] > 0, m["corr_mask"] > 0, m["src_idx"])
 
         self._register_raw_impl = _register_raw
         self._register_raw = jax.jit(_register_raw)
@@ -364,13 +368,22 @@ class PointDSCRegistrar:
 
     def _fetch_batch_raw(self, handle) -> List[Tuple[np.ndarray, np.ndarray]]:
         _, samples, res = handle
-        trans, pred, gt_labels, cmask, src_sel, tgt_sel = jax.device_get(res)
+        trans, pred, gt_labels, cmask, src_idx = jax.device_get(res)
         out = []
         for row, s in enumerate(samples):
-            valid = np.asarray(cmask[row]) > 0
-            s["src_keypts"] = np.asarray(src_sel[row])[valid]
-            s["tgt_keypts"] = np.asarray(tgt_sel[row])[valid]
-            s["labels"] = np.asarray(gt_labels[row])[valid]
+            valid = np.asarray(cmask[row])          # [bucket] bool
+            idx = np.asarray(src_idx[row])
+            src_k = np.asarray(s["src_keypts"], np.float32)
+            tgt_k = np.asarray(s["tgt_keypts"], np.float32)
+            vn = valid[: len(src_k)]
+            # reconstruct the matched rows from the host copies — the
+            # device computed src_sel = src * mask and tgt_sel =
+            # tgt[src_idx] * mask from bit-identical padded copies, so
+            # indexing here reproduces them exactly without the D2H
+            s["src_keypts"] = src_k[vn]
+            s["tgt_keypts"] = tgt_k[idx[: len(src_k)][vn]]
+            s["labels"] = np.asarray(
+                gt_labels[row])[: len(src_k)][vn].astype(np.float32)
             s.pop("corr_mask", None)
             out.append((np.asarray(trans[row]),
                         np.asarray(pred[row])[valid]))
@@ -385,5 +398,5 @@ class PointDSCRegistrar:
             self._register_raw_sharded = jax.jit(
                 self._register_raw_impl,
                 in_shardings=(repl,) + (bat,) * 9,
-                out_shardings=(bat,) * 6)
+                out_shardings=(bat,) * 5)
         return self._register_raw_sharded
