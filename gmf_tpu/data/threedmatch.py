@@ -64,52 +64,30 @@ def load_gt_log(scene_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-class _HostLRU:
-    """Process-wide byte-budgeted LRU of per-fragment host arrays.
+# Process-wide byte-budgeted LRU of per-fragment host arrays. Every
+# fragment in a 3DMatch eval set appears in many pairs (redkitchen: 60
+# fragments, 506 pairs), so re-reading / re-decoding its npz + image per
+# pair is the dominant host data cost once matching runs on device.
+# Cached arrays are READ-ONLY; all consumers copy (astype / fancy
+# indexing / augmentation), so an accidental in-place write fails loudly
+# instead of corrupting neighbouring samples. Budget:
+# ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables).
+from gmf_tpu.utils.lru import ByteLRU
 
-    Every fragment in a 3DMatch eval set appears in many pairs
-    (redkitchen: 60 fragments, 506 pairs), so re-reading / re-decoding
-    its npz + image per pair is the dominant host data cost once
-    matching runs on device. Cached arrays are returned READ-ONLY; all
-    consumers copy (``astype`` / fancy indexing / augmentation), so an
-    accidental in-place write fails loudly instead of corrupting
-    neighbouring samples. Thread-safe (harness ``--workers`` prefetch).
-    Budget: ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables).
-    """
+_io_cache = ByteLRU(
+    int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
 
-    def __init__(self, max_bytes: int):
-        import threading
-        from collections import OrderedDict
 
-        self.max_bytes = int(max_bytes)
-        self._store = OrderedDict()
-        self._bytes = 0
-        self._lock = threading.Lock()
-
-    def get(self, key, build):
-        if self.max_bytes <= 0:
-            return build()
-        with self._lock:
-            if key in self._store:
-                self._store.move_to_end(key)
-                return self._store[key][0]
+def _cache_host_arrays(key, build):
+    """ByteLRU.get for a tuple-of-ndarray (or single ndarray) builder."""
+    def build_entry():
         val = build()
         arrs = val if isinstance(val, tuple) else (val,)
         for a in arrs:
             a.setflags(write=False)
-        nb = sum(a.nbytes for a in arrs)
-        with self._lock:
-            if key not in self._store:
-                self._store[key] = (val, nb)
-                self._bytes += nb
-                while self._bytes > self.max_bytes and len(self._store) > 1:
-                    _, (_, old_nb) = self._store.popitem(last=False)
-                    self._bytes -= old_nb
-        return val
+        return val, sum(a.nbytes for a in arrs)
 
-
-_io_cache = _HostLRU(
-    int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
+    return _io_cache.get(key, build_entry)
 
 
 def _load_descriptors(path_base: str, descriptor: str):
@@ -123,7 +101,7 @@ def _load_descriptors(path_base: str, descriptor: str):
                            + 1e-6)
         return xyz, feat
 
-    return _io_cache.get(("desc", path_base, descriptor), build)
+    return _cache_host_arrays(("desc", path_base, descriptor), build)
 
 
 def _load_frame_image(path_base: str, image_hw):
@@ -134,7 +112,7 @@ def _load_frame_image(path_base: str, image_hw):
                 return load_image(p, *image_hw)
         raise FileNotFoundError(f"no image for {path_base}")
 
-    return _io_cache.get(("img", path_base, tuple(image_hw)), build)
+    return _cache_host_arrays(("img", path_base, tuple(image_hw)), build)
 
 
 class ThreeDMatchTrainVal:
@@ -343,12 +321,19 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
         p_image = _load_frame_image(resolve(src_path), self.image_hw)
         q_image = _load_frame_image(resolve(tgt_path), self.image_hw)
 
+        # decide cache eligibility BEFORE subsampling: a randomly
+        # subsampled fragment is pair-specific, so attaching a stable key
+        # would let the registrar's device cache serve one pair's random
+        # subset to every later pair of that fragment
+        subsampled = False
         if self.num_node != "all" and len(src_keypts) > self.num_node:
             sel = np.random.choice(len(src_keypts), self.num_node)
             src_keypts, src_feat = src_keypts[sel], src_feat[sel]
+            subsampled = True
         if self.num_node != "all" and len(tgt_keypts) > self.num_node:
             sel = np.random.choice(len(tgt_keypts), self.num_node)
             tgt_keypts, tgt_feat = tgt_keypts[sel], tgt_feat[sel]
+            subsampled = True
 
         if getattr(self, "device_match", False):
             sample = {
@@ -357,9 +342,7 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
                 "src_desc": src_feat.astype(np.float32),
                 "tgt_desc": tgt_feat.astype(np.float32),
             }
-            if self.num_node == "all" or (
-                    len(src_keypts) <= self.num_node
-                    and len(tgt_keypts) <= self.num_node):
+            if not subsampled:
                 sample["src_key"] = resolve(src_path)
                 sample["tgt_key"] = resolve(tgt_path)
         else:

@@ -46,42 +46,31 @@ class DeviceFragmentCache:
     """
 
     def __init__(self, max_bytes: int = 4 << 30):
-        import threading
-        from collections import OrderedDict
+        from gmf_tpu.utils.lru import ByteLRU
 
-        self.max_bytes = int(max_bytes)
-        self._store = OrderedDict()
-        self._bytes = 0
-        self._lock = threading.Lock()
-        self.hits = 0
-        self.misses = 0
+        self._lru = ByteLRU(max_bytes)
 
     def get(self, key, build):
         """Return the cached device pytree for ``key``, building (and
         device_put-ing) it from ``build() -> host pytree`` on miss."""
-        with self._lock:
-            if key in self._store:
-                self._store.move_to_end(key)
-                self.hits += 1
-                return self._store[key][0]
-        host = build()
-        entry = jax.device_put(host)
-        nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(host))
-        with self._lock:
-            if key in self._store:  # raced with another builder: keep first
-                self._store.move_to_end(key)
-                self.hits += 1
-                return self._store[key][0]
-            self.misses += 1
-            self._store[key] = (entry, nbytes)
-            self._bytes += nbytes
-            while self._bytes > self.max_bytes and len(self._store) > 1:
-                _, (_, old_bytes) = self._store.popitem(last=False)
-                self._bytes -= old_bytes
-        return entry
+        def build_entry():
+            host = build()
+            nbytes = sum(np.asarray(x).nbytes
+                         for x in jax.tree_util.tree_leaves(host))
+            return jax.device_put(host), nbytes
+
+        return self._lru.get(key, build_entry)
+
+    @property
+    def hits(self):
+        return self._lru.hits
+
+    @property
+    def misses(self):
+        return self._lru.misses
 
     def __len__(self):
-        return len(self._store)
+        return len(self._lru)
 
 
 class PointDSCRegistrar:
@@ -385,6 +374,12 @@ class PointDSCRegistrar:
             s["labels"] = np.asarray(
                 gt_labels[row])[: len(src_k)][vn].astype(np.float32)
             s.pop("corr_mask", None)
+            # the sample now holds COMPACTED rows — drop the fragment
+            # keys so a (contract-violating) re-dispatch of this dict
+            # rebuilds from the current arrays instead of hitting the
+            # cache with stale full-fragment entries
+            s.pop("src_key", None)
+            s.pop("tgt_key", None)
             out.append((np.asarray(trans[row]),
                         np.asarray(pred[row])[valid]))
         return out

@@ -97,6 +97,23 @@ def main():
         fcgf_model=fcgf_model, inlier_model=inlier_model,
         frag_cache_bytes=args.frag_cache * (1 << 20))
 
+    # per-fragment host IO cache: with the engine's frag cache on, a
+    # cache-hit fragment's cloud/image is loaded only to be ignored by
+    # register(); cache the decoded arrays per path instead (read-only,
+    # consumers copy/index). Budget shared env knob with the 3DMatch
+    # loaders.
+    from gmf_tpu.utils.lru import ByteLRU
+
+    io_cache = ByteLRU(
+        int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
+
+    def cached_io(key, build):
+        def entry():
+            v = np.asarray(build())
+            v.setflags(write=False)
+            return v, v.nbytes
+        return io_cache.get(key, entry)
+
     rows = []
     if args.dataset == "3dmatch":
         specs = []  # (scene_index, scene, key, base, i, j, T_gt)
@@ -116,15 +133,17 @@ def main():
 
             def __getitem__(self, n):
                 si, scene, key, base, i, j, T_gt = specs[n]
-                xyz0 = read_ply(
-                    os.path.join(base, f"cloud_bin_{i}.ply"))["xyz"]
-                xyz1 = read_ply(
-                    os.path.join(base, f"cloud_bin_{j}.ply"))["xyz"]
-                p_img = load_image(
-                    os.path.join(base, f"cloud_bin_{i}_0.png"))[None]
-                q_img = load_image(
-                    os.path.join(base, f"cloud_bin_{j}_0.png"))[None]
-                return si, scene, key, xyz0, xyz1, p_img, q_img, T_gt
+
+                def ply(fid):
+                    p = os.path.join(base, f"cloud_bin_{fid}.ply")
+                    return cached_io(p, lambda: read_ply(p)["xyz"])
+
+                def img(fid):
+                    p = os.path.join(base, f"cloud_bin_{fid}_0.png")
+                    return cached_io(p, lambda: load_image(p)[None])
+
+                return (si, scene, key, ply(i), ply(j), img(i), img(j),
+                        T_gt)
 
         loader = _PairLoader()
     else:
@@ -145,16 +164,21 @@ def main():
 
             def __getitem__(self, n):
                 seq, t0, t1 = kds.pairs[n]
-                xyz0 = read_velodyne_bin(kds._velo_path(seq, t0))
-                xyz1 = read_velodyne_bin(kds._velo_path(seq, t1))
+
+                def velo(t):
+                    p = kds._velo_path(seq, t)
+                    return cached_io(p, lambda: read_velodyne_bin(p))
+
+                def img(t):
+                    p = kds._image_path(seq, t)
+                    return cached_io(
+                        p, lambda: load_image(p, *kds.image_hw)[None])
+
+                xyz0, xyz1 = velo(t0), velo(t1)
                 T_gt = kds.gt_transform(seq, t0, t1, xyz0, xyz1).astype(
                     np.float32)
-                p_img = load_image(kds._image_path(seq, t0),
-                                   *kds.image_hw)[None]
-                q_img = load_image(kds._image_path(seq, t1),
-                                   *kds.image_hw)[None]
                 return (seq, f"{seq:02d}", f"{t0}_{t1}",
-                        xyz0, xyz1, p_img, q_img, T_gt)
+                        xyz0, xyz1, img(t0), img(t1), T_gt)
 
         loader = _KittiPairLoader()
 

@@ -235,15 +235,10 @@ class DeepGlobalRegistration:
         # per-fragment front half is bit-identical and halves the
         # steady-state feature work. 0 disables.
         self._frag_cache = None
-        self._frag_cache_bytes = 0
-        self._frag_cache_budget = int(frag_cache_bytes)
-        self.frag_cache_hits = 0
         if frag_cache_bytes:
-            import threading
-            from collections import OrderedDict
+            from gmf_tpu.utils.lru import ByteLRU
 
-            self._frag_cache = OrderedDict()
-            self._frag_lock = threading.Lock()
+            self._frag_cache = ByteLRU(frag_cache_bytes)
         nd = jnp.dtype(self.config.net_dtype)
         self.fcgf = fcgf_model or FCGFNet(conv1_kernel_size=7, dtype=nd)
         self.inlier = inlier_model or GMFInlierNet(
@@ -440,25 +435,30 @@ class DeepGlobalRegistration:
             n += ent["mask"].nbytes
         return n
 
+    @property
+    def frag_cache_hits(self) -> int:
+        return self._frag_cache.hits if self._frag_cache is not None else 0
+
+    def reset_frag_cache(self) -> None:
+        """Drop all cached fragments and zero the hit counter (no-op
+        when the cache is disabled)."""
+        if self._frag_cache is not None:
+            self._frag_cache.reset()
+
+    def seed_fragment(self, xyz: np.ndarray, key) -> None:
+        """Precompute and cache one fragment (e.g. to reproduce an
+        eval's steady state where the previous pair already cached it)."""
+        self._fragment_entry(np.asarray(xyz), key)
+
     def _fragment_entry(self, xyz: np.ndarray, key) -> Dict:
         if key is None or self._frag_cache is None:
             return self.prepare_fragment(xyz)
-        with self._frag_lock:
-            ent = self._frag_cache.get(key)
-            if ent is not None:
-                self._frag_cache.move_to_end(key)
-                self.frag_cache_hits += 1
-                return ent
-        ent = self.prepare_fragment(xyz)
-        with self._frag_lock:
-            if key not in self._frag_cache:
-                self._frag_cache[key] = ent
-                self._frag_cache_bytes += self._frag_nbytes(ent)
-            while (self._frag_cache_bytes > self._frag_cache_budget
-                   and len(self._frag_cache) > 1):
-                _, old = self._frag_cache.popitem(last=False)
-                self._frag_cache_bytes -= self._frag_nbytes(old)
-        return ent
+
+        def build():
+            ent = self.prepare_fragment(xyz)
+            return ent, self._frag_nbytes(ent)
+
+        return self._frag_cache.get(key, build)
 
     def register(self, xyz0: np.ndarray, xyz1: np.ndarray, p_image,
                  q_image, cache_key0=None, cache_key1=None) -> Dict:

@@ -302,10 +302,8 @@ def main():
                 do_pair(k)
             print(f"chain warm pass: {time.perf_counter() - tw:.1f} s "
                   f"(untimed)")
-            engine._frag_cache.clear()
-            engine._frag_cache_bytes = 0
-            engine._fragment_entry(frags[0], "0")
-            engine.frag_cache_hits = 0
+            engine.reset_frag_cache()
+            engine.seed_fragment(frags[0], "0")
             t0 = time.perf_counter()
             with ThreadPoolExecutor(max_workers=args.overlap) as ex:
                 for f in [ex.submit(do_pair, k) for k in range(n_jobs)]:

@@ -196,3 +196,45 @@ class TestLoMatchRealPairList:
         np.testing.assert_allclose(s["gt_trans"][:3, :3], R, atol=1e-6)
         np.testing.assert_allclose(s["gt_trans"][:3, 3], t, atol=1e-6)
         assert s["corr_pos"].shape[1] == 6
+
+
+class TestLoMatchDeviceCacheKeys:
+    """Fragment cache keys must only be attached to UNSUBSAMPLED
+    fragments: a random num_node subset is pair-specific, and a stable
+    key would let the registrar's device cache serve one pair's subset
+    to every later pair of that fragment."""
+
+    def _make_ds(self, tmp_path, rng, num_node):
+        import pickle
+
+        from gmf_tpu.data.threedmatch import ThreeDLoMatchTest
+
+        root = tmp_path / "lomatch_keys"
+        os.makedirs(root, exist_ok=True)
+        for i in range(2):
+            write_cloud(str(root / f"cloud_{i}"), rng, n=80)
+        infos = {
+            "rot": np.stack([np.eye(3, dtype=np.float32)]),
+            "trans": np.stack([np.zeros((3, 1), np.float32)]),
+            "src": np.array(["cloud_0.pth"]),
+            "tgt": np.array(["cloud_1.pth"]),
+        }
+        pair_file = str(root / "pairs.pkl")
+        with open(pair_file, "wb") as f:
+            pickle.dump(infos, f)
+        return ThreeDLoMatchTest(root=str(root), pair_file=pair_file,
+                                 num_node=num_node, image_hw=(24, 32),
+                                 device_match=True)
+
+    def test_subsampled_fragments_get_no_keys(self, tmp_path, rng):
+        s = self._make_ds(tmp_path, rng, num_node=50)[0]
+        assert s["src_keypts"].shape[0] == 50
+        assert "src_key" not in s and "tgt_key" not in s
+
+    def test_full_fragments_keep_keys(self, tmp_path, rng):
+        s = self._make_ds(tmp_path, rng, num_node="all")[0]
+        assert s["src_keypts"].shape[0] == 80
+        assert "src_key" in s and "tgt_key" in s
+        # num_node larger than the clouds -> nothing subsampled -> keys
+        s = self._make_ds(tmp_path, rng, num_node=500)[0]
+        assert "src_key" in s and "tgt_key" in s
