@@ -236,11 +236,15 @@ class ThreeDMatchTest:
         if self.device_match:
             # raw descriptors: matching/labels/corr_pos run ON DEVICE
             # inside the registrar dispatch (PointDSCRegistrar raw path)
+            # np.asarray: a free view when the (cached, read-only)
+            # arrays are already f32 — an .astype here would memcpy
+            # ~1.5 MB x 4 per pair that a fragment-cache-hit dispatch
+            # never reads
             sample = {
-                "src_keypts": src_keypts.astype(np.float32),
-                "tgt_keypts": tgt_keypts.astype(np.float32),
-                "src_desc": src_feat.astype(np.float32),
-                "tgt_desc": tgt_feat.astype(np.float32),
+                "src_keypts": np.asarray(src_keypts, np.float32),
+                "tgt_keypts": np.asarray(tgt_keypts, np.float32),
+                "src_desc": np.asarray(src_feat, np.float32),
+                "tgt_desc": np.asarray(tgt_feat, np.float32),
             }
             if self.num_node == "all":
                 # stable per-fragment identity -> the registrar's device
@@ -336,11 +340,15 @@ class ThreeDLoMatchTest(ThreeDMatchTest):
             subsampled = True
 
         if getattr(self, "device_match", False):
+            # np.asarray: a free view when the (cached, read-only)
+            # arrays are already f32 — an .astype here would memcpy
+            # ~1.5 MB x 4 per pair that a fragment-cache-hit dispatch
+            # never reads
             sample = {
-                "src_keypts": src_keypts.astype(np.float32),
-                "tgt_keypts": tgt_keypts.astype(np.float32),
-                "src_desc": src_feat.astype(np.float32),
-                "tgt_desc": tgt_feat.astype(np.float32),
+                "src_keypts": np.asarray(src_keypts, np.float32),
+                "tgt_keypts": np.asarray(tgt_keypts, np.float32),
+                "src_desc": np.asarray(src_feat, np.float32),
+                "tgt_desc": np.asarray(tgt_feat, np.float32),
             }
             if not subsampled:
                 sample["src_key"] = resolve(src_path)
