@@ -88,7 +88,10 @@ def main():
     samples = [ds[i % len(ds)] for i in range(b)]
 
     for rep in range(args.reps):
-        samples_r = [dict(s) for s in samples]
+        # rep k profiles batch k of the eval set (distinct pairs, the
+        # fragment-cache hit pattern of the real loop)
+        lo = (rep + 1) * b
+        samples_r = [ds[(lo + i) % len(ds)] for i in range(b)]
         # (a) assembly alone: cache-hit side entries + fused stack
         t0 = time.perf_counter()
         h = reg.dispatch_batch(samples_r)
