@@ -59,9 +59,10 @@ class NonLocalBlock(nn.Module):
     @nn.compact
     def __call__(self, feat, attention, image_feat, train: bool = False,
                  corr_mask=None, src_keypts=None, tgt_keypts=None,
-                 fused: bool = False):
+                 fused: bool = False, compat_cache=None):
         """feat [B,N,C], attention [B,N,N] (or None when fused),
-        image_feat [B,T,C] -> [B,N,C]."""
+        image_feat [B,T,C] -> [B,N,C]. compat_cache: optional [B,Np,Np]
+        precomputed spatial-consistency tiles shared by all layers."""
         B, N, C = feat.shape
         h = self.num_heads
         dh = C // h
@@ -76,18 +77,27 @@ class NonLocalBlock(nn.Module):
         if fused:
             # Pallas flash kernel: streams K/V blocks and rebuilds the
             # spatial-consistency matrix on the fly — never materializes
-            # the [N, N] tensors (ops/fused_attention.py).
+            # the [N, N] tensors (ops/fused_attention.py). With a
+            # compat_cache, tiles of the precomputed matrix stream from
+            # HBM instead (~1.9x: the rebuild is VPU-bound).
             assert h == 1, "fused path supports the reference's 1-head case"
             from gmf_tpu.ops.fused_attention import compat_flash_attention
 
             interpret = jax.default_backend() == "cpu"
             mask_b = (jnp.ones((B, N), q.dtype) if corr_mask is None
                       else corr_mask)
-            message = jax.vmap(
-                lambda qq, kk, vv, ss, tt, mm: compat_flash_attention(
-                    qq, kk, vv, ss, tt, mask=mm, sigma_d=self.sigma_d,
-                    interpret=interpret)
-            )(q, k, v, src_keypts, tgt_keypts, mask_b)
+            if compat_cache is not None:
+                message = jax.vmap(
+                    lambda qq, kk, vv, cc, mm: compat_flash_attention(
+                        qq, kk, vv, None, None, mask=mm, compat=cc,
+                        interpret=interpret)
+                )(q, k, v, compat_cache, mask_b)
+            else:
+                message = jax.vmap(
+                    lambda qq, kk, vv, ss, tt, mm: compat_flash_attention(
+                        qq, kk, vv, ss, tt, mask=mm, sigma_d=self.sigma_d,
+                        interpret=interpret)
+                )(q, k, v, src_keypts, tgt_keypts, mask_b)
         else:
             q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
             k = k.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
@@ -147,7 +157,7 @@ class NonLocalNet(nn.Module):
     @nn.compact
     def __call__(self, corr_feat, corr_compatibility, p_image, q_image,
                  train: bool = False, corr_mask=None, src_keypts=None,
-                 tgt_keypts=None, fused: bool = False):
+                 tgt_keypts=None, fused: bool = False, compat_cache=None):
         """corr_feat [B,N,6], compat [B,N,N], images [B,H,W,3] -> [B,N,C]."""
         C = self.num_channels
 
@@ -182,7 +192,8 @@ class NonLocalNet(nn.Module):
                 name=f"NonLocal_layer_{i}", dtype=self.dtype,
             )(feat, corr_compatibility, image_feat, train=train,
               corr_mask=corr_mask, src_keypts=src_keypts,
-              tgt_keypts=tgt_keypts, fused=fused)
+              tgt_keypts=tgt_keypts, fused=fused,
+              compat_cache=compat_cache)
         return feat
 
 
@@ -205,6 +216,14 @@ class PointDSC(nn.Module):
     nms_radius: float = 0.10
     kabsch_method: str = "quat"
     fused_attention: bool = False  # Pallas flash path (eval, large N)
+    # Precompute the spatial-consistency matrix ONCE per forward and share
+    # it across the 12 attention layers ("auto" | "off" | "bf16" | "f32").
+    # "auto" picks f32 when the [B, Np, Np] cache fits in ~1.5 GB, bf16
+    # up to ~4.5 GB, else falls back to per-layer streaming recompute;
+    # always off on CPU/interpret (keeps small-N tests on the exact path).
+    # Only meaningful with fused_attention. ~1.9x on the encoder stack
+    # (ops/fused_attention.py module docstring).
+    compat_cache: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -241,7 +260,9 @@ class PointDSC(nn.Module):
         if fused:
             src_dist = None
             corr_compatibility = None
+            cache_arr = self._build_compat_cache(src_keypts, tgt_keypts, B, N)
         else:
+            cache_arr = None
             src_dist = jax.lax.stop_gradient(jnp.linalg.norm(
                 src_keypts[:, :, None, :] - src_keypts[:, None, :, :],
                 axis=-1
@@ -262,7 +283,7 @@ class PointDSC(nn.Module):
             name="encoder", dtype=self.dtype,
         )(corr_pos, corr_compatibility, p_image, q_image, train=train,
           corr_mask=corr_mask, src_keypts=src_keypts, tgt_keypts=tgt_keypts,
-          fused=fused)
+          fused=fused, compat_cache=cache_arr)
         # sqrt(sum+eps) keeps the normalization gradient finite even for
         # all-zero feature rows (NaN-free training; see spectral._safe_norm).
         normed_corr_features = corr_features / jnp.sqrt(
@@ -334,6 +355,39 @@ class PointDSC(nn.Module):
             "seed_fitness": seed_fitness,
             "confidence": confidence,
         }
+
+    def _build_compat_cache(self, src_keypts, tgt_keypts, B, N):
+        """Resolve the compat_cache mode and build the [B, Np, Np] cache
+        (or None). "auto" gates on the cache's HBM footprint; interpret
+        (CPU) mode stays on the streaming kernel unless forced."""
+        mode = self.compat_cache
+        if mode in ("off", False, None):
+            return None
+        if mode not in ("auto", "bf16", "f32", True):
+            raise ValueError(f"unknown compat_cache mode {mode!r}")
+        from gmf_tpu.ops.fused_attention import (build_compat_cache,
+                                                 padded_len)
+
+        interpret = jax.default_backend() == "cpu"
+        Np = padded_len(N, interpret=interpret)
+        if mode in ("auto", True):
+            if interpret:
+                return None
+            if B * Np * Np * 4 <= 1.5e9:
+                cdt = jnp.float32
+            elif B * Np * Np * 2 <= 4.5e9:
+                cdt = jnp.bfloat16
+            else:
+                return None
+        else:
+            cdt = jnp.float32 if mode == "f32" else jnp.bfloat16
+        cache = jax.vmap(
+            lambda s, t: build_compat_cache(
+                s.astype(jnp.float32), t.astype(jnp.float32),
+                sigma_d=self.sigma_d, dtype=cdt, interpret=interpret)
+        )(src_keypts, tgt_keypts)
+        # compat is no-grad in the reference (PointDSC.py:216-221)
+        return jax.lax.stop_gradient(cache)
 
     # -- seed-local spectral matching + hypothesis selection --------------
 

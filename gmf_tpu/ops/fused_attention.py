@@ -25,6 +25,23 @@ rows broadcast without any in-kernel transpose. Gradients flow to
 q/k/v only; the keypoints and mask get symbolic zeros (they are data
 inputs in the reference — PointDSC.py:216-221 builds compat from the
 non-learnable correspondence coordinates).
+
+Cached-compat mode (the r3 perf lever): compat depends only on the
+keypoints, which are IDENTICAL across PointDSC's 12 layers — yet the
+streaming kernel above re-derives it per layer, and the compat tile math
+is VPU-bound (measured N=5000 b=64 fwd: 251.5 ms with compat vs 93.6 ms
+with compat stubbed; moving the distance dots between MXU and VPU makes
+no difference). `build_compat_cache` precomputes compat ONCE into an
+[Np, Np] bf16/f32 array (42 ms, HBM-write-bound) and the `compat=`
+kernels stream its tiles instead of rebuilding: 91.2 ms — the
+no-compat ceiling, the tile loads hide completely behind compute
+(scripts/bench_flash_variants.py). The cache uses the diff-form distance
+(sum of squared coordinate differences, like the dense reference's
+jnp.linalg.norm) rather than the norm identity, so it is numerically
+CLOSER to the dense path than the streaming kernel's matmul form.
+With the cache resident there is no in-kernel distance math, so the
+cached backward keeps queries in SUBLANES everywhere (no transposes:
+dv = pᵀ@do and dk = dlogitsᵀ@q are contractions over the query axis).
 """
 
 from __future__ import annotations
@@ -334,9 +351,30 @@ def _default_blocks():
     return bq, bk
 
 
+def padded_len(N: int, block_q: int = None, block_k: int = None,
+               interpret: bool = False) -> int:
+    """The padded sequence length Np the flash kernels use for N — the
+    compat cache is [Np, Np]. Mirrors the block resolution of
+    compat_flash_attention/build_compat_cache."""
+    if interpret:
+        dbq, dbk = 64, 128
+    else:
+        dbq, dbk = _default_blocks()
+    bq = block_q or dbq
+    bk = block_k or dbk
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        align = max(bq, bk)
+    else:
+        import math
+
+        align = math.lcm(bq, bk)
+    return N + ((-N) % align)
+
+
 def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
                            sigma_d: float = 0.10, block_q: int = None,
-                           block_k: int = None, interpret: bool = False):
+                           block_k: int = None, interpret: bool = False,
+                           compat=None):
     """Single-head compat-modulated attention, one pair. Differentiable
     w.r.t. q/k/v (flash backward; keypoints/mask receive zero grads).
 
@@ -345,6 +383,11 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
       src_keypts, tgt_keypts: [N, 3].
       mask: optional [N] key validity.
       sigma_d: spatial-consistency sigma (static).
+      compat: optional [Np, Np] cache from `build_compat_cache` (built
+        with the SAME block sizes). When given, the kernel streams its
+        tiles instead of re-deriving compat from the keypoints —
+        ~1.9x on the 12-layer stack (compat recompute is VPU-bound;
+        see module docstring). src/tgt_keypts may then be None.
 
     Returns [N, D] = softmax(compat * qk / sqrt(D)) @ v.
 
@@ -362,9 +405,47 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
     bk = block_k or dbk
+    if compat is not None:
+        return _compat_flash_attention_cached_jit(
+            q, k, v, compat, mask, block_q=bq, block_k=bk,
+            interpret=interpret)
     return _compat_flash_attention_jit(q, k, v, src_keypts, tgt_keypts,
                                        mask, sigma_d=sigma_d, block_q=bq,
                                        block_k=bk, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"),
+)
+def _compat_flash_attention_cached_jit(q, k, v, compat, mask=None,
+                                       block_q: int = 512,
+                                       block_k: int = 1024,
+                                       interpret: bool = False):
+    N, D = q.shape
+    bq, bk = block_q, block_k
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        align = max(bq, bk)
+    else:
+        import math
+
+        align = math.lcm(bq, bk)
+    Np = N + ((-N) % align)
+    if compat.shape != (Np, Np):
+        raise ValueError(
+            f"compat cache shape {compat.shape} does not match the padded "
+            f"size {(Np, Np)} for N={N} blocks=({bq},{bk}); build it with "
+            "build_compat_cache using the same block sizes")
+
+    def padN(x):
+        return jnp.pad(x, ((0, Np - N),) + ((0, 0),) * (x.ndim - 1))
+
+    qp, kp, vp = padN(q), padN(k), padN(v)
+    m = (jnp.ones((N,), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
+    mp = jnp.pad(m, (0, Np - N)).reshape(1, Np)
+    out = _flash_cached(qp, kp, vp, compat, mp, 1.0 / (D ** 0.5), bq, bk,
+                        interpret)
+    return out[:N]
 
 
 @functools.partial(
@@ -405,6 +486,315 @@ def _compat_flash_attention_jit(q, k, v, src_keypts, tgt_keypts, mask=None,
     out = _flash(qp, kp, vp, sp, tp, mp, float(sigma_d) ** 2,
                  1.0 / (D ** 0.5), bq, bk, interpret)
     return out[:N]
+
+
+# --------------------------------------------------------------------------
+# Cached-compat mode
+# --------------------------------------------------------------------------
+
+
+def _compat_pre_kernel(sq_ref, skT_ref, tq_ref, tkT_ref, o_ref, *,
+                       sigma_sq: float):
+    """One compat tile from diff-form distances (dense-reference formula).
+
+    sq/tq: [BQ, 128] zero-padded keypoint rows; skT/tkT: [8, BK]
+    transposed keypoints (coordinate index in sublanes).
+    """
+    ds2 = dt2 = None
+    for d in range(3):
+        sd = sq_ref[:, d:d + 1] - skT_ref[d:d + 1, :]
+        td = tq_ref[:, d:d + 1] - tkT_ref[d:d + 1, :]
+        ds2 = sd * sd if ds2 is None else ds2 + sd * sd
+        dt2 = td * td if dt2 is None else dt2 + td * td
+    dd = jnp.sqrt(ds2) - jnp.sqrt(dt2)
+    o_ref[:] = jnp.maximum(1.0 - dd * dd / sigma_sq, 0.0).astype(o_ref.dtype)
+
+
+def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
+                       dtype=jnp.bfloat16, block_q: int = None,
+                       block_k: int = None, interpret: bool = False):
+    """Precompute the [Np, Np] spatial-consistency matrix, padded so its
+    tiles align with `compat_flash_attention(..., compat=...)`'s blocks.
+
+    One pair; vmap over the batch. ~42 ms at N=5000 b=64 (HBM-write-bound:
+    one bf16 [Np, Np] store). Rows = query index, cols = key index; the
+    pad region holds arbitrary values — the flash mask keeps padded KEYS
+    out of every softmax and padded QUERY rows are sliced off.
+    """
+    if interpret:
+        dbq, dbk = 64, 128
+    else:
+        dbq, dbk = _default_blocks()
+    bq = block_q or dbq
+    bk = block_k or dbk
+    return _build_compat_cache_jit(src_keypts, tgt_keypts,
+                                   sigma_d=float(sigma_d), dtype=dtype,
+                                   block_q=bq, block_k=bk,
+                                   interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma_d", "dtype", "block_q", "block_k", "interpret"),
+)
+def _build_compat_cache_jit(src_keypts, tgt_keypts, *, sigma_d, dtype,
+                            block_q, block_k, interpret):
+    N = src_keypts.shape[0]
+    bq, bk = block_q, block_k
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        align = max(bq, bk)
+    else:
+        import math
+
+        align = math.lcm(bq, bk)
+    Np = N + ((-N) % align)
+    sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
+    tp = jnp.pad(tgt_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
+    spT = jnp.transpose(sp[:, :8])  # [8, Np]
+    tpT = jnp.transpose(tp[:, :8])
+    nq, nk = Np // bq, Np // bk
+    return pl.pallas_call(
+        functools.partial(_compat_pre_kernel, sigma_sq=float(sigma_d) ** 2),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
+        grid=(nq, nk),
+        in_specs=[
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bq, bk), lambda i, j: (i, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(sp, spT, tp, tpT)
+
+
+def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, scale: float,
+                       nk_blocks: int, mm_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[:].astype(mm_dtype)
+    k = k_ref[:].astype(mm_dtype)
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = c_ref[:].astype(jnp.float32) * qk
+    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_next
+    l_scr[:] = l_next
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p.astype(mm_dtype), v_ref[:].astype(mm_dtype),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_blocks - 1)
+    def _store():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[:] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse = m_scr[:] + jnp.log(l)
+        lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+def _forward_call_cached(qp, kp, vp, cp, mp, scale, bq, bk, interpret):
+    Np, D = qp.shape
+    nq_blocks = Np // bq
+    nk_blocks = Np // bk
+    kernel = functools.partial(
+        _fwd_kernel_cached, scale=scale, nk_blocks=nk_blocks,
+        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Np, D), qp.dtype),
+                   jax.ShapeDtypeStruct((Np, 128), jnp.float32)),
+        grid=(nq_blocks, nk_blocks),
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda i, j: (i, 0)),    # q
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # k
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # v
+            pl.BlockSpec((bq, bk), lambda i, j: (i, j)),   # compat tile
+            pl.BlockSpec((1, bk), lambda i, j: (0, j)),    # mask
+        ],
+        out_specs=(pl.BlockSpec((bq, D), lambda i, j: (i, 0)),
+                   pl.BlockSpec((bq, 128), lambda i, j: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, cp, mp)
+
+
+def _bwd_tile_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                     c_ref, mask_ref, scale, mm_dtype):
+    """Backward tile, query in SUBLANES (no transposes needed with the
+    compat tile resident). Returns (p [BQ, BK], dlogits [BQ, BK])."""
+    q = q_ref[:].astype(mm_dtype)
+    k = k_ref[:].astype(mm_dtype)
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    c = c_ref[:].astype(jnp.float32)
+    s = c * qk
+    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)       # [1, BK] broadcasts
+    p = jnp.exp(s - lse_ref[:, 0:1])                 # lse col [BQ, 1]
+    dp = jax.lax.dot_general(
+        do_ref[:].astype(mm_dtype), v_ref[:].astype(mm_dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dlogits = p * (dp - delta_ref[:, 0:1]) * c * scale
+    return p, dlogits
+
+
+def _bwd_dkv_kernel_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                           c_ref, mask_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                           *, scale: float, nq_blocks: int, mm_dtype):
+    i = pl.program_id(1)  # query block (inner)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    p, dlogits = _bwd_tile_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref,
+                                  v_ref, c_ref, mask_ref, scale, mm_dtype)
+    # contractions over the query axis — no transposes
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(mm_dtype), do_ref[:].astype(mm_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        dlogits.astype(mm_dtype), q_ref[:].astype(mm_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq_blocks - 1)
+    def _store():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          c_ref, mask_ref, dq_ref, dq_scr, *, scale: float,
+                          nk_blocks: int, mm_dtype):
+    j = pl.program_id(1)  # key block (inner)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    _, dlogits = _bwd_tile_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref,
+                                  v_ref, c_ref, mask_ref, scale, mm_dtype)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot(
+        dlogits.astype(mm_dtype), k_ref[:].astype(mm_dtype),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_blocks - 1)
+    def _store():
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_cached(qp, kp, vp, cp, mp, scale, bq, bk, interpret):
+    out, _ = _forward_call_cached(qp, kp, vp, cp, mp, scale, bq, bk,
+                                  interpret)
+    return out
+
+
+def _flash_cached_fwd(qp, kp, vp, cp, mp, scale, bq, bk, interpret):
+    out, lse = _forward_call_cached(qp, kp, vp, cp, mp, scale, bq, bk,
+                                    interpret)
+    return out, (qp, kp, vp, cp, mp, out, lse)
+
+
+def _flash_cached_bwd(scale, bq, bk, interpret, res, do):
+    qp, kp, vp, cp, mp, out, lse = res
+    Np, D = qp.shape
+    # same VMEM-safe backward clamp as the streaming kernel; the cache's
+    # (bq, bk) tiling stays aligned because these divide the fwd blocks
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        bq = min(bq, 256)
+        bk = min(bk, 512)
+    nq_blocks = Np // bq
+    nk_blocks = Np // bk
+    mm_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    valid = mp[0] > 0
+    lse_col = jnp.where(valid, lse[:, 0], _LSE_PAD)
+    lse_col = jnp.broadcast_to(lse_col[:, None], (Np, 128))
+    delta_col = jnp.broadcast_to(
+        jnp.sum(do * out, axis=-1)[:, None], (Np, 128))
+
+    dkv_specs = [
+        pl.BlockSpec((bq, D), lambda a, b: (b, 0)),      # q
+        pl.BlockSpec((bq, D), lambda a, b: (b, 0)),      # do
+        pl.BlockSpec((bq, 128), lambda a, b: (b, 0)),    # lse col
+        pl.BlockSpec((bq, 128), lambda a, b: (b, 0)),    # delta col
+        pl.BlockSpec((bk, D), lambda a, b: (a, 0)),      # k
+        pl.BlockSpec((bk, D), lambda a, b: (a, 0)),      # v
+        pl.BlockSpec((bq, bk), lambda a, b: (b, a)),     # compat tile
+        pl.BlockSpec((1, bk), lambda a, b: (0, a)),      # mask
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_cached, scale=scale,
+                          nq_blocks=nq_blocks, mm_dtype=mm_dtype),
+        out_shape=(jax.ShapeDtypeStruct((Np, D), kp.dtype),
+                   jax.ShapeDtypeStruct((Np, D), vp.dtype)),
+        grid=(nk_blocks, nq_blocks),
+        in_specs=dkv_specs,
+        out_specs=(pl.BlockSpec((bk, D), lambda a, b: (a, 0)),
+                   pl.BlockSpec((bk, D), lambda a, b: (a, 0))),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, do, lse_col, delta_col, kp, vp, cp, mp)
+
+    dq_specs = [
+        pl.BlockSpec((bq, D), lambda a, b: (a, 0)),      # q
+        pl.BlockSpec((bq, D), lambda a, b: (a, 0)),      # do
+        pl.BlockSpec((bq, 128), lambda a, b: (a, 0)),    # lse col
+        pl.BlockSpec((bq, 128), lambda a, b: (a, 0)),    # delta col
+        pl.BlockSpec((bk, D), lambda a, b: (b, 0)),      # k
+        pl.BlockSpec((bk, D), lambda a, b: (b, 0)),      # v
+        pl.BlockSpec((bq, bk), lambda a, b: (a, b)),     # compat tile
+        pl.BlockSpec((1, bk), lambda a, b: (0, b)),      # mask
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_cached, scale=scale,
+                          nk_blocks=nk_blocks, mm_dtype=mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((Np, D), qp.dtype),
+        grid=(nq_blocks, nk_blocks),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((bq, D), lambda a, b: (a, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, do, lse_col, delta_col, kp, vp, cp, mp)
+
+    return dq, dk, dv, jnp.zeros_like(cp), jnp.zeros_like(mp)
+
+
+_flash_cached.defvjp(_flash_cached_fwd, _flash_cached_bwd)
 
 
 def compat_attention_reference(q, k, v, src_keypts, tgt_keypts, mask=None,

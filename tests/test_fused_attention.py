@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from gmf_tpu.ops.fused_attention import (
-    compat_flash_attention, compat_attention_reference,
+    build_compat_cache, compat_flash_attention, compat_attention_reference,
 )
 
 
@@ -63,6 +63,92 @@ class TestCompatFlashAttention:
         # only valid queries matter
         np.testing.assert_allclose(np.asarray(got)[:200],
                                    np.asarray(ref)[:200], atol=2e-4)
+
+
+class TestCompatCache:
+    """Cached-compat mode: build_compat_cache + compat= flash path."""
+
+    def test_cache_values_match_dense(self, rng):
+        _, _, _, s, t = make_inputs(rng, N=300)
+        cache = build_compat_cache(s, t, sigma_d=0.2, dtype=jnp.float32,
+                                   block_q=128, block_k=128, interpret=True)
+        ds = jnp.linalg.norm(s[:, None] - s[None], axis=-1)
+        dt = jnp.linalg.norm(t[:, None] - t[None], axis=-1)
+        dense = jnp.maximum(1.0 - (ds - dt) ** 2 / 0.2 ** 2, 0.0)
+        np.testing.assert_allclose(np.asarray(cache)[:300, :300],
+                                   np.asarray(dense), atol=1e-5)
+
+    def test_cached_forward_matches_reference(self, rng):
+        for N in (256, 300):
+            q, k, v, s, t = make_inputs(rng, N=N)
+            cache = build_compat_cache(s, t, sigma_d=0.3, dtype=jnp.float32,
+                                       block_q=128, block_k=128,
+                                       interpret=True)
+            ref = compat_attention_reference(q, k, v, s, t, sigma_d=0.3)
+            got = compat_flash_attention(q, k, v, None, None, compat=cache,
+                                         block_q=128, block_k=128,
+                                         interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, err_msg=f"N={N}")
+
+    def test_cached_forward_masked(self, rng):
+        N = 300
+        q, k, v, s, t = make_inputs(rng, N=N)
+        mask = jnp.asarray((np.arange(N) < 240).astype(np.float32))
+        cache = build_compat_cache(s, t, sigma_d=0.2, dtype=jnp.float32,
+                                   block_q=128, block_k=128, interpret=True)
+        ref = compat_attention_reference(q, k, v, s, t, mask=mask,
+                                         sigma_d=0.2)
+        got = compat_flash_attention(q, k, v, None, None, mask=mask,
+                                     compat=cache, block_q=128, block_k=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:240],
+                                   np.asarray(ref)[:240], atol=2e-4)
+
+    def test_bf16_cache_close(self, rng):
+        """bf16 cache (the TPU default) stays within ~bf16 rounding of the
+        dense reference output."""
+        q, k, v, s, t = make_inputs(rng, N=256)
+        cache = build_compat_cache(s, t, sigma_d=0.3, dtype=jnp.bfloat16,
+                                   block_q=128, block_k=128, interpret=True)
+        ref = compat_attention_reference(q, k, v, s, t, sigma_d=0.3)
+        got = compat_flash_attention(q, k, v, None, None, compat=cache,
+                                     block_q=128, block_k=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-2)
+
+    def test_shape_mismatch_rejected(self, rng):
+        q, k, v, s, t = make_inputs(rng, N=300)
+        cache = build_compat_cache(s, t, block_q=64, block_k=64,
+                                   interpret=True)  # Np=320, not 384
+        with pytest.raises(ValueError, match="compat cache shape"):
+            compat_flash_attention(q, k, v, None, None, compat=cache,
+                                   block_q=128, block_k=128, interpret=True)
+
+    def test_cached_grads_match_reference(self, rng):
+        N = 300
+        q, k, v, s, t = make_inputs(rng, N=N)
+        mask = jnp.asarray((np.arange(N) < 250).astype(np.float32))
+        cache = build_compat_cache(s, t, sigma_d=0.25, dtype=jnp.float32,
+                                   block_q=128, block_k=128, interpret=True)
+
+        def loss(fn):
+            def inner(q, k, v):
+                out = fn(q, k, v)
+                w = jnp.arange(out.shape[0])[:, None] * 0.01 + 1.0
+                return jnp.sum(out * w * mask[:, None])
+            return inner
+
+        got = jax.grad(loss(lambda q, k, v: compat_flash_attention(
+            q, k, v, None, None, mask=mask, compat=cache, block_q=128,
+            block_k=128, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss(lambda q, k, v: compat_attention_reference(
+            q, k, v, s, t, mask=mask, sigma_d=0.25)),
+            argnums=(0, 1, 2))(q, k, v)
+        for g, r, name in zip(got, ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=3e-4, err_msg=f"d{name}")
 
 
 class TestFlashBackward:

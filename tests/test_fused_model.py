@@ -70,3 +70,72 @@ def test_fused_training_grads_match_dense(rng):
     scale = max(np.abs(x).max() for x in flat_d)
     for a, b in zip(flat_f, flat_d):
         np.testing.assert_allclose(a, b, atol=2e-3 * scale + 1e-6)
+
+
+def test_compat_cache_model_matches_streaming(rng):
+    """compat_cache="f32" (forced on CPU) must match the streaming fused
+    path: same kernels downstream, compat precomputed once and shared."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    fused = PointDSC(fused_attention=True, compat_cache="off", **kw)
+    cached = PointDSC(fused_attention=True, compat_cache="f32", **kw)
+
+    N = 150  # non-divisible N exercises the padded cache alignment
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([0.1, 0.2, 0.0], np.float32)
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    mask = np.ones((1, N), np.float32)
+    mask[0, -20:] = 0.0
+    corr[0, -20:] = 0.0
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = fused.init(jax.random.PRNGKey(0), *args)
+    out_s = fused.apply(variables, *args, testing=True,
+                        corr_mask=jnp.asarray(mask))
+    out_c = cached.apply(variables, *args, testing=True,
+                         corr_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_c["final_trans"]),
+                               np.asarray(out_s["final_trans"]), atol=1e-3)
+    lbl_s = np.asarray(out_s["final_labels"])[mask > 0]
+    lbl_c = np.asarray(out_c["final_labels"])[mask > 0]
+    assert (lbl_s == lbl_c).mean() > 0.99
+
+
+def test_compat_cache_training_grads(rng):
+    """Param grads through the cached kernels match the streaming fused
+    path (cache under stop_gradient, custom_vjp backward)."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    fused = PointDSC(fused_attention=True, compat_cache="off", **kw)
+    cached = PointDSC(fused_attention=True, compat_cache="f32", **kw)
+
+    N = 128
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    tgt = src + 0.01 * rng.randn(1, N, 3).astype(np.float32)
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = fused.init(jax.random.PRNGKey(0), *args)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def loss(p, model):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": batch_stats}, *args,
+            train=True, mutable=["batch_stats"])
+        return (jnp.sum(out["M"] ** 2) + jnp.sum(out["confidence"] ** 2)
+                + jnp.sum(out["final_trans"][:, :3, 3] ** 2))
+
+    g_s = jax.grad(loss)(params, fused)
+    g_c = jax.grad(loss)(params, cached)
+    flat_s = jax.tree.leaves(jax.tree.map(np.asarray, g_s))
+    flat_c = jax.tree.leaves(jax.tree.map(np.asarray, g_c))
+    scale = max(np.abs(x).max() for x in flat_s)
+    for a, b in zip(flat_c, flat_s):
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale + 1e-6)
