@@ -90,6 +90,12 @@ def main():
                     help="bf16 module compute, f32 geometry (halves HBM "
                          "traffic; registration output verified exact — "
                          "default: on for TPU eval, off for CPU/train)")
+    ap.add_argument("--approx-knn", action="store_true",
+                    help="opt-in approximate seed-kNN (approx_max_k "
+                         "recall_target=0.95, measured neighbor recall "
+                         "0.99): +27%% pairs/s at the default preset; "
+                         "off by default to keep the exact reference "
+                         "semantics")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -166,12 +172,15 @@ def main():
     from gmf_tpu.models import PointDSC
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    knn_topk = "approx" if args.approx_knn else "auto"
     if args.tiny:
         model = PointDSC(num_layers=2, num_channels=32, k=10,
-                         fused_attention=args.fused, dtype=dtype)
+                         fused_attention=args.fused, dtype=dtype,
+                         knn_topk=knn_topk)
         image_hw = (24, 32)
     else:
-        model = PointDSC(fused_attention=args.fused, dtype=dtype)
+        model = PointDSC(fused_attention=args.fused, dtype=dtype,
+                         knn_topk=knn_topk)
         image_hw = (120, 160)
 
     rng = np.random.RandomState(0)

@@ -224,6 +224,15 @@ class PointDSC(nn.Module):
     # Only meaningful with fused_attention. ~1.9x on the encoder stack
     # (ops/fused_attention.py module docstring).
     compat_cache: str = "auto"
+    # Seed-kNN top-k backend. "exact" (= "auto"): lax.top_k. "values":
+    # approx_max_k recall_target=1.0 — exact top-k VALUES via the native
+    # PartialReduce; faster standalone (110 vs 162 ms) but identical
+    # in-model (XLA fuses the bf16 ranking equally well); only tie ORDER
+    # can differ, which the reference's CUDA topk leaves undefined anyway.
+    # "approx": opt-in recall_target=0.95 — measured neighbor recall 0.99
+    # and 370 -> 292.6 ms/batch (+27% pairs/s) on the b=64 eval forward
+    # (scripts/bench_topk.py).
+    knn_topk: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -410,7 +419,20 @@ class PointDSC(nn.Module):
             dist = jnp.where(corr_mask[:, None, :] > 0, dist, jnp.inf)
         # ignore_self via k+1 then dropping the closest (the seed itself),
         # exactly as the reference's knn(ignore_self=True).
-        _, knn_idx = jax.lax.top_k(-dist, k + 1)
+        mode = "exact" if self.knn_topk == "auto" else self.knn_topk
+        if mode == "exact":
+            _, knn_idx = jax.lax.top_k(-dist, k + 1)
+        elif mode in ("values", "approx"):
+            # TPU-native PartialReduce top-k; rt=1.0 returns the exact
+            # top-k values (only tie order may differ from lax.top_k).
+            # f32 operand: the ApproxTopK custom call rejects bf16, and
+            # ranking in f32 is what the exact path effectively does.
+            _, knn_idx = jax.lax.approx_max_k(
+                (-dist).astype(jnp.float32), k + 1,
+                recall_target=1.0 if mode == "values" else 0.95,
+                aggregate_to_topk=True)
+        else:
+            raise ValueError(f"unknown knn_topk mode {self.knn_topk!r}")
         knn_idx = knn_idx[..., 1:]
 
         def gather_feat(x, idx):

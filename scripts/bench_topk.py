@@ -1,0 +1,112 @@
+"""Microbench: seed-kNN top_k alternatives at the b=64 eval shape.
+
+Shape [B=64, S=500, N=5000] f32, k=41 (PointDSC seed kNN,
+models/pointdsc.py). Host-fetch-synced timing.
+
+r3 measurements (v5e):
+  lax.top_k                 162 ms
+  grouped two-stage exact   168-472 ms  (NOT faster: XLA's TPU TopK is
+                                         already partition-reduced)
+  approx_max_k rt=1.00      110 ms  exact VALUES (adversarial recall 1.0,
+                                    only tie ORDER differs from top_k)
+  approx_max_k rt=0.95       23 ms  measured recall 0.99
+  approx_max_k rt=0.90       12 ms  measured recall 0.98
+
+The model's seed kNN uses rt=1.0 on TPU ("auto") and lax.top_k on CPU;
+rt=0.95 is the opt-in "approx" mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def grouped_top_k(x, k, target_group=512):
+    """Two-stage exact top-k (kept as the measured-slower alternative)."""
+    n = x.shape[-1]
+    g, best = 1, 1
+    while g * g <= n:
+        if n % g == 0:
+            for d in (g, n // g):
+                if n // d >= max(2 * k, target_group) and d > best:
+                    best = d
+        g += 1
+    g = best
+    if g <= 1:
+        return jax.lax.top_k(x, k)
+    gs = n // g
+    xg = x.reshape(x.shape[:-1] + (g, gs))
+    v1, i1 = jax.lax.top_k(xg, k)
+    i1 = i1 + (jnp.arange(g, dtype=i1.dtype) * gs)[:, None]
+    v1 = v1.reshape(x.shape[:-1] + (g * k,))
+    i1 = i1.reshape(x.shape[:-1] + (g * k,))
+    v2, sel = jax.lax.top_k(v1, k)
+    return v2, jnp.take_along_axis(i1, sel, axis=-1)
+
+
+def timeit(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+        np.asarray(jax.tree.leaves(out)[0][0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0][0, 0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seeds", type=int, default=500)
+    ap.add_argument("--num-corr", type=int, default=5000)
+    ap.add_argument("--k", type=int, default=41)
+    args = ap.parse_args()
+
+    B, S, N, k = args.batch, args.seeds, args.num_corr, args.k
+    x = jnp.asarray(np.random.RandomState(0).rand(B, S, N), jnp.float32)
+
+    plain = jax.jit(lambda x: jax.lax.top_k(x, k))
+    dt = timeit(lambda: plain(x))
+    print(f"lax.top_k            : {dt*1e3:8.1f} ms")
+    ref_v, ref_i = plain(x)
+    ref_v, ref_i = np.asarray(ref_v), np.asarray(ref_i)
+
+    for tg in (256, 512):
+        fn = jax.jit(lambda x, tg=tg: grouped_top_k(x, k, target_group=tg))
+        dt = timeit(lambda: fn(x))
+        v, i = fn(x)
+        ok = (np.array_equal(np.asarray(v), ref_v)
+              and np.array_equal(np.asarray(i), ref_i))
+        print(f"grouped tg={tg:5d}     : {dt*1e3:8.1f} ms  "
+              f"{'EXACT' if ok else 'MISMATCH'}")
+
+    for rt in (1.0, 0.95, 0.9):
+        fn = jax.jit(lambda x, rt=rt: jax.lax.approx_max_k(
+            x, k, recall_target=rt, aggregate_to_topk=True))
+        dt = timeit(lambda: fn(x))
+        v, i = fn(x)
+        iv = np.asarray(i)
+        recall = np.mean([
+            len(np.intersect1d(iv[b, s], ref_i[b, s])) / k
+            for b in range(0, B, 16) for s in range(0, S, 100)])
+        vex = np.array_equal(np.asarray(v), ref_v)
+        print(f"approx rt={rt:4.2f}      : {dt*1e3:8.1f} ms  "
+              f"recall={recall:.4f} values_exact={vex}")
+
+
+if __name__ == "__main__":
+    main()

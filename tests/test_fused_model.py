@@ -139,3 +139,31 @@ def test_compat_cache_training_grads(rng):
     scale = max(np.abs(x).max() for x in flat_s)
     for a, b in zip(flat_c, flat_s):
         np.testing.assert_allclose(a, b, atol=2e-3 * scale + 1e-6)
+
+
+def test_knn_topk_values_mode_matches_exact(rng):
+    """knn_topk="values" (approx_max_k rt=1.0) returns the exact top-k
+    values; the final transform must match the exact backend."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    exact = PointDSC(knn_topk="exact", **kw)
+    values = PointDSC(knn_topk="values", **kw)
+
+    N = 128
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([0.1, 0.2, 0.0], np.float32)
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = exact.init(jax.random.PRNGKey(0), *args)
+    out_e = exact.apply(variables, *args, testing=True)
+    out_v = values.apply(variables, *args, testing=True)
+    np.testing.assert_allclose(np.asarray(out_v["final_trans"]),
+                               np.asarray(out_e["final_trans"]), atol=1e-4)
+    assert (np.asarray(out_v["final_labels"])
+            == np.asarray(out_e["final_labels"])).mean() > 0.99
