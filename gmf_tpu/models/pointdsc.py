@@ -219,7 +219,7 @@ class PointDSC(nn.Module):
     # Precompute the spatial-consistency matrix ONCE per forward and share
     # it across the 12 attention layers ("auto" | "off" | "bf16" | "f32").
     # "auto" picks f32 when the [B, Np, Np] cache fits in ~1.5 GB, bf16
-    # up to ~4.5 GB, else falls back to per-layer streaming recompute;
+    # up to ~3.5 GB, else falls back to per-layer streaming recompute;
     # always off on CPU/interpret (keeps small-N tests on the exact path).
     # Only meaningful with fused_attention. ~1.9x on the encoder stack
     # (ops/fused_attention.py module docstring).
@@ -382,9 +382,13 @@ class PointDSC(nn.Module):
         if mode in ("auto", True):
             if interpret:
                 return None
+            # bf16 ceiling 3.5 GB: the b=64 N=5120 cache (3.36 GB) fits
+            # next to the model workspace, but the lomatch b=2 N=30720
+            # one (3.78 GB) OOMs HBM against the [B,S,N] hypothesis-
+            # scoring tensors — that preset stays on the streaming kernel.
             if B * Np * Np * 4 <= 1.5e9:
                 cdt = jnp.float32
-            elif B * Np * Np * 2 <= 4.5e9:
+            elif B * Np * Np * 2 <= 3.5e9:
                 cdt = jnp.bfloat16
             else:
                 return None
