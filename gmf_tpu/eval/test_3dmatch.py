@@ -65,6 +65,18 @@ def main():
                          "the registration dispatch (mutual 1-NN + labels "
                          "+ corr_pos encoding) instead of on the host — "
                          "removes the per-pair host matching cost")
+    ap.add_argument("--compat-cache", default="auto",
+                    choices=("auto", "off", "bf16", "f32"),
+                    help="PointDSC spatial-consistency cache mode "
+                         "(precompute once per forward, shared by all "
+                         "attention layers; 'auto' gates on HBM footprint "
+                         "and disables itself in the device-match "
+                         "pipeline where it was measured to hurt)")
+    ap.add_argument("--approx-knn", action="store_true",
+                    help="opt-in approximate seed-kNN (approx_max_k "
+                         "recall_target=0.95, measured neighbor recall "
+                         "0.99) — faster, slightly off the exact "
+                         "reference semantics")
     ap.add_argument("--frag-cache-mb", type=int, default=4096,
                     help="device fragment-cache budget for --device-match "
                          "(MB): each fragment's descriptors/image cross "
@@ -97,6 +109,10 @@ def main():
         import jax.numpy as jnp
 
         model = model.clone(dtype=jnp.bfloat16)
+    if args.compat_cache != "auto":
+        model = model.clone(compat_cache=args.compat_cache)
+    if args.approx_knn:
+        model = model.clone(knn_topk="approx")
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

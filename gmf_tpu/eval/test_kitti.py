@@ -37,6 +37,11 @@ def main():
                     default=None,
                     help="bf16 module compute, f32 geometry (registration "
                          "output verified exact; default: on for TPU)")
+    ap.add_argument("--compat-cache", default="auto",
+                    choices=("auto", "off", "bf16", "f32"),
+                    help="spatial-consistency cache mode (see test_3dmatch)")
+    ap.add_argument("--approx-knn", action="store_true",
+                    help="opt-in approximate seed-kNN (recall 0.99)")
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per batched dispatch")
     ap.add_argument("--mesh", type=int, default=0,
@@ -84,6 +89,10 @@ def main():
     model = model.clone(inlier_threshold=1.2, sigma_d=1.2, nms_radius=1.2,
                         fused_attention=args.fused,
                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    if args.compat_cache != "auto":
+        model = model.clone(compat_cache=args.compat_cache)
+    if args.approx_knn:
+        model = model.clone(knn_topk="approx")
     mesh = None
     if args.mesh:
         from gmf_tpu.parallel.mesh import make_mesh

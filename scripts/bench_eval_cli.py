@@ -192,6 +192,9 @@ def main():
                     help="on-device correspondence building (removes the "
                          "host mutual-1-NN bottleneck)")
     ap.add_argument("--inflight", type=int, default=1)
+    ap.add_argument("--compat-cache", default="auto",
+                    choices=("auto", "off", "bf16", "f32"))
+    ap.add_argument("--approx-knn", action="store_true")
     ap.add_argument("--workers", type=int, default=0,
                     help="threaded pair prefetch in the harness")
     ap.add_argument("--cpu", action="store_true")
@@ -283,6 +286,10 @@ def main():
         argv += ["--bf16"]
     if args.fused:
         argv += ["--fused"]
+    if args.compat_cache != "auto":
+        argv += ["--compat-cache", args.compat_cache]
+    if args.approx_knn:
+        argv += ["--approx-knn"]
     if args.warm:
         # untimed first pass: fills the in-process jit/tracing caches and
         # the persistent .jax_cache so the timed pass below measures the
