@@ -66,7 +66,7 @@ def main():
                          "+ corr_pos encoding) instead of on the host — "
                          "removes the per-pair host matching cost")
     ap.add_argument("--compat-cache", default="auto",
-                    choices=("auto", "off", "bf16", "f32"),
+                    choices=("auto", "off", "bf16", "f32", "int8"),
                     help="PointDSC spatial-consistency cache mode "
                          "(precompute once per forward, shared by all "
                          "attention layers; 'auto' gates on HBM footprint "

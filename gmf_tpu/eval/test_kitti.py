@@ -38,7 +38,7 @@ def main():
                     help="bf16 module compute, f32 geometry (registration "
                          "output verified exact; default: on for TPU)")
     ap.add_argument("--compat-cache", default="auto",
-                    choices=("auto", "off", "bf16", "f32"),
+                    choices=("auto", "off", "bf16", "f32", "int8"),
                     help="spatial-consistency cache mode (see test_3dmatch)")
     ap.add_argument("--approx-knn", action="store_true",
                     help="opt-in approximate seed-kNN (recall 0.99)")

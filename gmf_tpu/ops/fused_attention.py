@@ -56,6 +56,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 _LSE_PAD = 1e9  # lse of padded/invalid query rows in bwd => p == 0
 
+# int8 compat-cache quantization: compat in [0, 1] maps affinely onto
+# [-127, 127] (q = round(254*c - 127)), max abs dequant error 1/508 —
+# the same worst case as bf16's ulp/2 near 1.0, but half the HBM bytes.
+_COMPAT_I8_SCALE = 254.0
+_COMPAT_I8_BIAS = 127.0
+
+
+def _load_compat(c_ref):
+    """Read a compat tile as f32, dequantizing int8 caches in-register."""
+    if c_ref.dtype == jnp.int8:
+        return (c_ref[:].astype(jnp.float32) + _COMPAT_I8_BIAS) * (
+            1.0 / _COMPAT_I8_SCALE)
+    return c_ref[:].astype(jnp.float32)
+
 
 def _compat_block(sa, sb, ta, tb, sigma_sq):
     """Spatial-consistency tile with rows = a, cols = b.
@@ -507,7 +521,12 @@ def _compat_pre_kernel(sq_ref, skT_ref, tq_ref, tkT_ref, o_ref, *,
         ds2 = sd * sd if ds2 is None else ds2 + sd * sd
         dt2 = td * td if dt2 is None else dt2 + td * td
     dd = jnp.sqrt(ds2) - jnp.sqrt(dt2)
-    o_ref[:] = jnp.maximum(1.0 - dd * dd / sigma_sq, 0.0).astype(o_ref.dtype)
+    c = jnp.maximum(1.0 - dd * dd / sigma_sq, 0.0)
+    if o_ref.dtype == jnp.int8:
+        o_ref[:] = jnp.round(
+            c * _COMPAT_I8_SCALE - _COMPAT_I8_BIAS).astype(jnp.int8)
+    else:
+        o_ref[:] = c.astype(o_ref.dtype)
 
 
 def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
@@ -520,6 +539,11 @@ def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
     one bf16 [Np, Np] store). Rows = query index, cols = key index; the
     pad region holds arbitrary values — the flash mask keeps padded KEYS
     out of every softmax and padded QUERY rows are sliced off.
+
+    dtype=jnp.int8 stores the offset-quantized cache (q = round(254*c -
+    127), dequantized in-kernel): half the HBM bytes of bf16, measured
+    19% faster over the 12-layer stack at b=64 N=5120, with the same
+    worst-case error as bf16 near compat=1.0 (max abs 1/508).
     """
     if interpret:
         dbq, dbk = 64, 128
@@ -586,7 +610,7 @@ def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
     qk = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    s = c_ref[:].astype(jnp.float32) * qk
+    s = _load_compat(c_ref) * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
 
     m_prev = m_scr[:]
@@ -652,7 +676,7 @@ def _bwd_tile_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     qk = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    c = c_ref[:].astype(jnp.float32)
+    c = _load_compat(c_ref)
     s = c * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)       # [1, BK] broadcasts
     p = jnp.exp(s - lse_ref[:, 0:1])                 # lse col [BQ, 1]
@@ -791,7 +815,17 @@ def _flash_cached_bwd(scale, bq, bk, interpret, res, do):
         interpret=interpret,
     )(qp, do, lse_col, delta_col, kp, vp, cp, mp)
 
-    return dq, dk, dv, jnp.zeros_like(cp), jnp.zeros_like(mp)
+    return dq, dk, dv, _zero_cotangent(cp), _zero_cotangent(mp)
+
+
+def _zero_cotangent(x):
+    """Zero cotangent matching JAX's tangent-type rules (integer inputs —
+    e.g. an int8 compat cache — take float0, not a same-dtype zero)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
 _flash_cached.defvjp(_flash_cached_fwd, _flash_cached_bwd)

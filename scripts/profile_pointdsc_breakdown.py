@@ -103,31 +103,37 @@ def main():
     print(f"12x flash attn (streamed) : {dt*1e3:8.1f} ms/batch")
 
     # the LIVE default path: compat cache built once, tiles streamed into
-    # all 12 layers (models/pointdsc.py compat_cache="auto")
+    # all 12 layers (models/pointdsc.py compat_cache="auto" — int8 at
+    # these shapes; bf16 shown for comparison)
     from gmf_tpu.ops.fused_attention import build_compat_cache
 
-    @jax.jit
-    def flash12_cached(q, src, tgt, mask):
-        cache = jax.vmap(lambda s, t: build_compat_cache(
-            s, t, sigma_d=0.10, dtype=jnp.bfloat16))(src, tgt)
-        x = q
-        for _ in range(12):
-            x = jax.vmap(lambda qq, cc, mm: compat_flash_attention(
-                qq, qq, qq, None, None, mask=mm, compat=cc))(x, cache, mask)
-        return x
+    def make_flash12_cached(cdt):
+        @jax.jit
+        def flash12_cached(q, src, tgt, mask):
+            cache = jax.vmap(lambda s, t: build_compat_cache(
+                s, t, sigma_d=0.10, dtype=cdt))(src, tgt)
+            x = q
+            for _ in range(12):
+                x = jax.vmap(lambda qq, cc, mm: compat_flash_attention(
+                    qq, qq, qq, None, None, mask=mm, compat=cc))(
+                        x, cache, mask)
+            return x
+        return flash12_cached
 
-    dt, _ = timeit(lambda: flash12_cached(q, src, tgt, mask),
-                   lambda o: np.asarray(o[0, 0]), iters=args.iters)
-    print(f"12x flash attn (cached)   : {dt*1e3:8.1f} ms/batch")
+    for name, cdt in (("int8", jnp.int8), ("bf16", jnp.bfloat16)):
+        fn = make_flash12_cached(cdt)
+        dt, _ = timeit(lambda: fn(q, src, tgt, mask),
+                       lambda o: np.asarray(o[0, 0]), iters=args.iters)
+        print(f"12x flash attn ({name} $)  : {dt*1e3:8.1f} ms/batch")
 
     @jax.jit
     def cache_only(src, tgt):
         return jax.vmap(lambda s, t: build_compat_cache(
-            s, t, sigma_d=0.10, dtype=jnp.bfloat16))(src, tgt)
+            s, t, sigma_d=0.10, dtype=jnp.int8))(src, tgt)
 
     dt, _ = timeit(lambda: cache_only(src, tgt),
                    lambda o: np.asarray(o[0, 0, 0]), iters=args.iters)
-    print(f"compat cache build        : {dt*1e3:8.1f} ms/batch")
+    print(f"compat cache build (int8) : {dt*1e3:8.1f} ms/batch")
 
     S = int(N * 0.1)
     feats = q / jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, -1,

@@ -118,6 +118,59 @@ class TestCompatCache:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-2)
 
+    def test_int8_cache_close(self, rng):
+        """int8 cache (offset-quantized, dequantized in-kernel) stays
+        within the bf16 tolerance of the dense reference — max abs
+        dequant error 1/508 matches bf16's ulp/2 near 1.0."""
+        q, k, v, s, t = make_inputs(rng, N=256)
+        cache = build_compat_cache(s, t, sigma_d=0.3, dtype=jnp.int8,
+                                   block_q=128, block_k=128, interpret=True)
+        assert cache.dtype == jnp.int8
+        ref = compat_attention_reference(q, k, v, s, t, sigma_d=0.3)
+        got = compat_flash_attention(q, k, v, None, None, compat=cache,
+                                     block_q=128, block_k=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-2)
+
+    def test_int8_cache_quantization_exact(self, rng):
+        """int8 cache dequantizes to within half a quantization step of
+        the dense compat matrix."""
+        _, _, _, s, t = make_inputs(rng, N=300)
+        cache = build_compat_cache(s, t, sigma_d=0.2, dtype=jnp.int8,
+                                   block_q=128, block_k=128, interpret=True)
+        deq = (np.asarray(cache, np.float32)[:300, :300] + 127.0) / 254.0
+        ds = jnp.linalg.norm(s[:, None] - s[None], axis=-1)
+        dt = jnp.linalg.norm(t[:, None] - t[None], axis=-1)
+        dense = np.asarray(jnp.maximum(1.0 - (ds - dt) ** 2 / 0.2 ** 2, 0.0))
+        assert np.abs(deq - dense).max() <= 0.5 / 254.0 + 1e-5
+
+    def test_int8_cache_grads_flow(self, rng):
+        """q/k/v grads through an int8 cache match the reference (the
+        cache itself is stop-gradient by contract)."""
+        N = 300
+        q, k, v, s, t = make_inputs(rng, N=N)
+        mask = jnp.asarray((np.arange(N) < 250).astype(np.float32))
+        cache = build_compat_cache(s, t, sigma_d=0.25, dtype=jnp.int8,
+                                   block_q=128, block_k=128, interpret=True)
+
+        def loss(fn):
+            def inner(q, k, v):
+                out = fn(q, k, v)
+                return jnp.sum(out ** 2 * mask[:, None])
+            return inner
+
+        got = jax.grad(loss(lambda q, k, v: compat_flash_attention(
+            q, k, v, None, None, mask=mask, compat=cache, block_q=128,
+            block_k=128, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(loss(lambda q, k, v: compat_attention_reference(
+            q, k, v, s, t, mask=mask, sigma_d=0.25)),
+            argnums=(0, 1, 2))(q, k, v)
+        for g, r, name in zip(got, ref, "qkv"):
+            assert np.isfinite(np.asarray(g)).all(), f"d{name} not finite"
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=5e-3, err_msg=f"d{name}")
+
     def test_shape_mismatch_rejected(self, rng):
         q, k, v, s, t = make_inputs(rng, N=300)
         cache = build_compat_cache(s, t, block_q=64, block_k=64,

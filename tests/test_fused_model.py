@@ -106,6 +106,41 @@ def test_compat_cache_model_matches_streaming(rng):
     assert (lbl_s == lbl_c).mean() > 0.99
 
 
+def test_compat_cache_int8_model_matches_streaming(rng):
+    """compat_cache="int8" (offset-quantized cache, dequantized in the
+    kernels) registers the same pair the streaming fused path does —
+    max abs dequant error 1/508 is below bf16's near-1.0 ulp/2."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    fused = PointDSC(fused_attention=True, compat_cache="off", **kw)
+    cached = PointDSC(fused_attention=True, compat_cache="int8", **kw)
+
+    N = 150
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([0.1, 0.2, 0.0], np.float32)
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    mask = np.ones((1, N), np.float32)
+    mask[0, -20:] = 0.0
+    corr[0, -20:] = 0.0
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = fused.init(jax.random.PRNGKey(0), *args)
+    out_s = fused.apply(variables, *args, testing=True,
+                        corr_mask=jnp.asarray(mask))
+    out_c = cached.apply(variables, *args, testing=True,
+                         corr_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_c["final_trans"]),
+                               np.asarray(out_s["final_trans"]), atol=2e-3)
+    lbl_s = np.asarray(out_s["final_labels"])[mask > 0]
+    lbl_c = np.asarray(out_c["final_labels"])[mask > 0]
+    assert (lbl_s == lbl_c).mean() > 0.99
+
+
 def test_compat_cache_training_grads(rng):
     """Param grads through the cached kernels match the streaming fused
     path (cache under stop_gradient, custom_vjp backward)."""
