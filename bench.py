@@ -261,6 +261,8 @@ def main():
             T, labels = register(*fargs)
             np.asarray(T)
         except Exception as e:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
             print(f"fused path failed ({type(e).__name__}); "
                   "falling back to dense", file=sys.stderr)
             model = model.clone(fused_attention=False)

@@ -197,6 +197,28 @@ class NonLocalNet(nn.Module):
         return feat
 
 
+def _auto_compat_cache_dtype(B, Np):
+    """Pick the compat-cache dtype for "auto" mode by HBM footprint.
+
+    Small shapes keep the f32 cache (exact); past 1.5 GB the offset-
+    quantized int8 cache takes over — measured 19% faster than bf16 on
+    the 12-layer stack at b=64 N=5120 (half the tile bytes streamed)
+    with the SAME worst-case dequant error as bf16 near compat=1.0
+    (1/508). The 1.75 GB int8 ceiling is empirical: the b=64 N=5120
+    default cache (1.68 GB) fits and wins, but the lomatch b=2 N=30720
+    one (1.89 GB) OOMed at 20.25/15.75 GB — a resident cache blocks
+    buffer reuse across the [B,S,N] hypothesis-scoring live set, so the
+    blow-up is ~2.4x the cache bytes. Past the ceiling, None: fall back
+    to the streaming kernel (exact, O(N) memory); "int8"/"bf16"/"f32"
+    stay available by name for deployments with more headroom.
+    """
+    if B * Np * Np * 4 <= 1.5e9:
+        return jnp.float32
+    if B * Np * Np <= 1.75e9:
+        return jnp.int8
+    return None
+
+
 class PointDSC(nn.Module):
     """Full PointDSC+GMF model.
 
@@ -219,7 +241,7 @@ class PointDSC(nn.Module):
     # Precompute the spatial-consistency matrix ONCE per forward and
     # share it across the 12 attention layers ("auto" | "off" | "bf16" |
     # "f32" | "int8"). "auto" picks f32 when the [B, Np, Np] cache fits
-    # in ~1.5 GB, else the offset-quantized int8 cache up to ~3.5 GB
+    # in ~1.5 GB, else the offset-quantized int8 cache up to ~1.75 GB
     # (19% faster than bf16 — half the streamed bytes — at the same
     # worst-case dequant error; build_compat_cache docstring), else
     # falls back to per-layer streaming recompute; always off on CPU/
@@ -385,20 +407,8 @@ class PointDSC(nn.Module):
         if mode in ("auto", True):
             if interpret:
                 return None
-            # Tiers by HBM footprint. Small shapes keep the f32 cache
-            # (exact); past 1.5 GB the int8 cache takes over — measured
-            # 19% faster than bf16 on the 12-layer stack at b=64 N=5120
-            # (half the tile bytes streamed) with the SAME worst-case
-            # dequant error as bf16 near compat=1.0 (1/508). The 3.5 GB
-            # ceiling is empirical: the bf16 lomatch cache (3.78 GB)
-            # OOMed against the [B,S,N] hypothesis-scoring tensors;
-            # int8 halves every footprint so only truly enormous
-            # configs fall back to the streaming kernel.
-            if B * Np * Np * 4 <= 1.5e9:
-                cdt = jnp.float32
-            elif B * Np * Np <= 3.5e9:
-                cdt = jnp.int8
-            else:
+            cdt = _auto_compat_cache_dtype(B, Np)
+            if cdt is None:
                 return None
         else:
             cdt = {"f32": jnp.float32, "int8": jnp.int8}.get(mode,

@@ -202,3 +202,16 @@ def test_knn_topk_values_mode_matches_exact(rng):
                                np.asarray(out_e["final_trans"]), atol=1e-4)
     assert (np.asarray(out_v["final_labels"])
             == np.asarray(out_e["final_labels"])).mean() > 0.99
+
+
+def test_auto_compat_cache_gate():
+    """The auto gate's tiers match the measured HBM envelope: f32 for
+    small shapes, int8 up to the empirical 1.75 GB ceiling, streaming
+    (None) past it — the lomatch b=2 Np=30720 cache (1.89 GB) OOMed on
+    a 16 GB v5e next to the [B,S,N] scoring tensors."""
+    from gmf_tpu.models.pointdsc import _auto_compat_cache_dtype
+
+    assert _auto_compat_cache_dtype(16, 1024) is jnp.float32   # 67 MB f32
+    assert _auto_compat_cache_dtype(64, 5120) is jnp.int8      # bench default
+    assert _auto_compat_cache_dtype(8, 12288) is jnp.int8      # --kitti
+    assert _auto_compat_cache_dtype(2, 30720) is None          # --lomatch
