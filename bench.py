@@ -96,6 +96,10 @@ def main():
                          "0.99): +27%% pairs/s at the default preset; "
                          "off by default to keep the exact reference "
                          "semantics")
+    ap.add_argument("--knn-topk", default=None,
+                    choices=("auto", "exact", "values", "approx"),
+                    help="seed-kNN top-k backend override (see "
+                         "PointDSC.knn_topk); overrides --approx-knn")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -172,7 +176,7 @@ def main():
     from gmf_tpu.models import PointDSC
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    knn_topk = "approx" if args.approx_knn else "auto"
+    knn_topk = args.knn_topk or ("approx" if args.approx_knn else "auto")
     if args.tiny:
         model = PointDSC(num_layers=2, num_channels=32, k=10,
                          fused_attention=args.fused, dtype=dtype,

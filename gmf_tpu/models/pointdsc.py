@@ -201,10 +201,12 @@ def _auto_compat_cache_dtype(B, Np):
     """Pick the compat-cache dtype for "auto" mode by HBM footprint.
 
     Small shapes keep the f32 cache (exact); past 1.5 GB the offset-
-    quantized int8 cache takes over — measured 19% faster than bf16 on
-    the 12-layer stack at b=64 N=5120 (half the tile bytes streamed)
-    with the SAME worst-case dequant error as bf16 near compat=1.0
-    (1/508). The 1.75 GB int8 ceiling is empirical: the b=64 N=5120
+    quantized int8 cache takes over — equal streamed-tile time to bf16
+    (108.5 vs 107.7 ms over the 12-layer stack at b=64 N=5120,
+    serialized A/B) at HALF the HBM footprint, with the SAME worst-case
+    dequant error as bf16 near compat=1.0 (1/508); the halved footprint
+    is what buys headroom next to the [B,S,N] hypothesis-scoring
+    tensors. The 1.75 GB int8 ceiling is empirical: the b=64 N=5120
     default cache (1.68 GB) fits and wins, but the lomatch b=2 N=30720
     one (1.89 GB) OOMed at 20.25/15.75 GB — a resident cache blocks
     buffer reuse across the [B,S,N] hypothesis-scoring live set, so the
@@ -242,8 +244,8 @@ class PointDSC(nn.Module):
     # share it across the 12 attention layers ("auto" | "off" | "bf16" |
     # "f32" | "int8"). "auto" picks f32 when the [B, Np, Np] cache fits
     # in ~1.5 GB, else the offset-quantized int8 cache up to ~1.75 GB
-    # (19% faster than bf16 — half the streamed bytes — at the same
-    # worst-case dequant error; build_compat_cache docstring), else
+    # (equal speed to bf16 at half the HBM footprint, same worst-case
+    # dequant error; build_compat_cache docstring), else
     # falls back to per-layer streaming recompute; always off on CPU/
     # interpret (keeps small-N tests on the exact path). Only meaningful
     # with fused_attention. ~1.9x on the encoder stack

@@ -542,7 +542,8 @@ def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
 
     dtype=jnp.int8 stores the offset-quantized cache (q = round(254*c -
     127), dequantized in-kernel): half the HBM bytes of bf16, measured
-    19% faster over the 12-layer stack at b=64 N=5120, with the same
+    equal streamed-tile time over the 12-layer stack at b=64 N=5120
+    (the kernels are compute-bound at these tile costs), with the same
     worst-case error as bf16 near compat=1.0 (max abs 1/508).
     """
     if interpret:
