@@ -71,23 +71,10 @@ def load_gt_log(scene_path: str) -> Dict[str, np.ndarray]:
 # Cached arrays are READ-ONLY; all consumers copy (astype / fancy
 # indexing / augmentation), so an accidental in-place write fails loudly
 # instead of corrupting neighbouring samples. Budget:
-# ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables).
-from gmf_tpu.utils.lru import ByteLRU
-
-_io_cache = ByteLRU(
-    int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
-
-
-def _cache_host_arrays(key, build):
-    """ByteLRU.get for a tuple-of-ndarray (or single ndarray) builder."""
-    def build_entry():
-        val = build()
-        arrs = val if isinstance(val, tuple) else (val,)
-        for a in arrs:
-            a.setflags(write=False)
-        return val, sum(a.nbytes for a in arrs)
-
-    return _io_cache.get(key, build_entry)
+# ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables). The cache itself
+# is the PROCESS-WIDE one in utils/lru.py, shared with the DGR eval CLI
+# so the env budget bounds total host cache use.
+from gmf_tpu.utils.lru import cache_host_arrays as _cache_host_arrays
 
 
 def _load_descriptors(path_base: str, descriptor: str):

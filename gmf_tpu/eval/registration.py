@@ -88,6 +88,11 @@ class PointDSCRegistrar:
                  mesh=None, match_inlier_threshold: float = 0.10,
                  match_mutual: bool = True, match_in_dim: int = 6,
                  frag_cache: Optional[DeviceFragmentCache] = None):
+        if mesh is not None and getattr(model, "compat_cache_shards", 0) == 1:
+            # the compat-cache "auto" gate sizes the PER-CHIP footprint;
+            # a mesh-sharded apply traces at the global batch, so tell
+            # the model how many data shards the batch splits over
+            model = model.clone(compat_cache_shards=mesh.shape["data"])
         self.model = model
         self.variables = variables
         self.buckets = buckets

@@ -69,9 +69,9 @@ def main():
                     choices=("auto", "off", "bf16", "f32", "int8"),
                     help="PointDSC spatial-consistency cache mode "
                          "(precompute once per forward, shared by all "
-                         "attention layers; 'auto' gates on HBM footprint "
-                         "and disables itself in the device-match "
-                         "pipeline where it was measured to hurt)")
+                         "attention layers; 'auto' gates on the per-chip "
+                         "HBM footprint: f32 <=1.5 GB, int8 <=1.75 GB, "
+                         "else per-layer streaming recompute)")
     ap.add_argument("--approx-knn", action="store_true",
                     help="opt-in approximate seed-kNN (approx_max_k "
                          "recall_target=0.95, measured neighbor recall "

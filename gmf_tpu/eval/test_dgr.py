@@ -100,19 +100,13 @@ def main():
     # per-fragment host IO cache: with the engine's frag cache on, a
     # cache-hit fragment's cloud/image is loaded only to be ignored by
     # register(); cache the decoded arrays per path instead (read-only,
-    # consumers copy/index). Budget shared env knob with the 3DMatch
-    # loaders.
-    from gmf_tpu.utils.lru import ByteLRU
-
-    io_cache = ByteLRU(
-        int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
+    # consumers copy/index). The PROCESS-WIDE ByteLRU in utils/lru.py,
+    # shared with the 3DMatch loaders under one GMF_FRAG_IO_CACHE_MB
+    # budget.
+    from gmf_tpu.utils.lru import cache_host_arrays
 
     def cached_io(key, build):
-        def entry():
-            v = np.asarray(build())
-            v.setflags(write=False)
-            return v, v.nbytes
-        return io_cache.get(key, entry)
+        return cache_host_arrays(key, lambda: np.asarray(build()))
 
     rows = []
     if args.dataset == "3dmatch":

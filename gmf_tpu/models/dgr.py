@@ -456,6 +456,13 @@ class DeepGlobalRegistration:
 
         def build():
             ent = self.prepare_fragment(xyz)
+            for v in ent.values():
+                # cached host arrays are shared by every later pair that
+                # reuses the fragment (register() returns e0['sel'] in
+                # 'corres'); read-only makes an in-place caller edit fail
+                # loudly instead of corrupting neighbouring pairs
+                if isinstance(v, np.ndarray):
+                    v.setflags(write=False)
             return ent, self._frag_nbytes(ent)
 
         return self._frag_cache.get(key, build)

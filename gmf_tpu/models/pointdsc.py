@@ -251,6 +251,14 @@ class PointDSC(nn.Module):
     # with fused_attention. ~1.9x on the encoder stack
     # (ops/fused_attention.py module docstring).
     compat_cache: str = "auto"
+    # Number of data-parallel shards the batch axis is split over at
+    # dispatch time. The "auto" gate above compares the PER-CHIP cache
+    # footprint against the HBM ceilings; under a mesh-sharded apply the
+    # trace sees the GLOBAL batch, so the registrar/trainer clone the
+    # model with compat_cache_shards=mesh.shape['data'] to keep the gate
+    # per-chip-honest (a global-batch estimate would falsely disable the
+    # cache on multi-chip runs).
+    compat_cache_shards: int = 1
     # Seed-kNN top-k backend. "exact" (= "auto"): lax.top_k. "values":
     # approx_max_k recall_target=1.0 — exact top-k VALUES via the native
     # PartialReduce; faster standalone (110 vs 162 ms) but identical
@@ -409,7 +417,8 @@ class PointDSC(nn.Module):
         if mode in ("auto", True):
             if interpret:
                 return None
-            cdt = _auto_compat_cache_dtype(B, Np)
+            cdt = _auto_compat_cache_dtype(
+                -(-B // max(1, self.compat_cache_shards)), Np)
             if cdt is None:
                 return None
         else:

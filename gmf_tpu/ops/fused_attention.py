@@ -365,6 +365,20 @@ def _default_blocks():
     return bq, bk
 
 
+def _aligned_len(N: int, bq: int, bk: int) -> int:
+    """Pad N up to the block alignment: max(bq, bk) for power-of-two
+    blocks, lcm otherwise. The SINGLE source of truth for the padded
+    size — the cache builder and the cached kernel must agree exactly
+    or the cached call dies on a shape mismatch."""
+    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
+        align = max(bq, bk)
+    else:
+        import math
+
+        align = math.lcm(bq, bk)
+    return N + ((-N) % align)
+
+
 def padded_len(N: int, block_q: int = None, block_k: int = None,
                interpret: bool = False) -> int:
     """The padded sequence length Np the flash kernels use for N — the
@@ -376,13 +390,7 @@ def padded_len(N: int, block_q: int = None, block_k: int = None,
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
     bk = block_k or dbk
-    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
-        align = max(bq, bk)
-    else:
-        import math
-
-        align = math.lcm(bq, bk)
-    return N + ((-N) % align)
+    return _aligned_len(N, bq, bk)
 
 
 def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
@@ -437,13 +445,7 @@ def _compat_flash_attention_cached_jit(q, k, v, compat, mask=None,
                                        interpret: bool = False):
     N, D = q.shape
     bq, bk = block_q, block_k
-    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
-        align = max(bq, bk)
-    else:
-        import math
-
-        align = math.lcm(bq, bk)
-    Np = N + ((-N) % align)
+    Np = _aligned_len(N, bq, bk)
     if compat.shape != (Np, Np):
         raise ValueError(
             f"compat cache shape {compat.shape} does not match the padded "
@@ -566,13 +568,7 @@ def _build_compat_cache_jit(src_keypts, tgt_keypts, *, sigma_d, dtype,
                             block_q, block_k, interpret):
     N = src_keypts.shape[0]
     bq, bk = block_q, block_k
-    if (bq & (bq - 1)) == 0 and (bk & (bk - 1)) == 0:
-        align = max(bq, bk)
-    else:
-        import math
-
-        align = math.lcm(bq, bk)
-    Np = N + ((-N) % align)
+    Np = _aligned_len(N, bq, bk)
     sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     tp = jnp.pad(tgt_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     spT = jnp.transpose(sp[:, :8])  # [8, Np]

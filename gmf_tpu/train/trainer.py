@@ -212,12 +212,18 @@ class Trainer:
                  tboard_dir: Optional[str] = None, prefetch: int = 0):
         from gmf_tpu.utils.logging_utils import MetricsLogger
 
-        self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.prefetch = prefetch
         self.mesh = mesh if mesh is not None else make_mesh()
+        if (self.mesh.shape.get("data", 1) > 1
+                and getattr(model, "compat_cache_shards", 0) == 1):
+            # keep the compat-cache "auto" gate per-chip-honest under DP
+            # batch sharding (see PointDSC.compat_cache_shards)
+            model = model.clone(
+                compat_cache_shards=self.mesh.shape["data"])
+        self.model = model
         self.logger = MetricsLogger(tboard_dir)
 
         sample = next(iter(train_loader))

@@ -76,3 +76,42 @@ class ByteLRU:
     def __contains__(self, key) -> bool:
         with self._lock:
             return key in self._store
+
+
+# -- process-wide host IO cache ------------------------------------------
+#
+# Decoded npz/ply/png/velodyne arrays, shared by every loader and eval
+# CLI in the process so the env budget bounds the TOTAL host cache use
+# (two independent ByteLRUs reading the same knob could hold 2x it).
+
+_host_io_cache = None
+_host_io_lock = threading.Lock()
+
+
+def host_io_cache() -> ByteLRU:
+    """The shared read-only host IO ByteLRU, budgeted by
+    ``GMF_FRAG_IO_CACHE_MB`` (default 2048; 0 disables). Resolved lazily
+    on first use so tests can set the env var before any IO."""
+    global _host_io_cache
+    with _host_io_lock:
+        if _host_io_cache is None:
+            import os
+
+            _host_io_cache = ByteLRU(
+                int(os.environ.get("GMF_FRAG_IO_CACHE_MB", "2048")) << 20)
+        return _host_io_cache
+
+
+def cache_host_arrays(key, build):
+    """``host_io_cache().get`` for a tuple-of-ndarray (or single ndarray)
+    builder. Cached arrays are set READ-ONLY; consumers copy (astype /
+    fancy indexing / augmentation), so an accidental in-place write fails
+    loudly instead of corrupting neighbouring samples."""
+    def build_entry():
+        val = build()
+        arrs = val if isinstance(val, tuple) else (val,)
+        for a in arrs:
+            a.setflags(write=False)
+        return val, sum(a.nbytes for a in arrs)
+
+    return host_io_cache().get(key, build_entry)

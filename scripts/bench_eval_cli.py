@@ -193,7 +193,7 @@ def main():
                          "host mutual-1-NN bottleneck)")
     ap.add_argument("--inflight", type=int, default=1)
     ap.add_argument("--compat-cache", default="auto",
-                    choices=("auto", "off", "bf16", "f32"))
+                    choices=("auto", "off", "bf16", "f32", "int8"))
     ap.add_argument("--approx-knn", action="store_true")
     ap.add_argument("--workers", type=int, default=0,
                     help="threaded pair prefetch in the harness")

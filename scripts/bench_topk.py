@@ -12,8 +12,10 @@ r3 measurements (v5e):
   approx_max_k rt=0.95       23 ms  measured recall 0.99
   approx_max_k rt=0.90       12 ms  measured recall 0.98
 
-The model's seed kNN uses rt=1.0 on TPU ("auto") and lax.top_k on CPU;
-rt=0.95 is the opt-in "approx" mode.
+The model's seed kNN default ("auto" = "exact") is lax.top_k everywhere
+— in-model the XLA TopK fuses as well as PartialReduce, so the 110 ms
+standalone win does not reproduce end-to-end. "values" (rt=1.0 exact
+VALUES) and "approx" (rt=0.95) are opt-in via PointDSC.knn_topk.
 """
 
 from __future__ import annotations
