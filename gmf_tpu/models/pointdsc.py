@@ -259,7 +259,12 @@ class PointDSC(nn.Module):
     # per-chip-honest (a global-batch estimate would falsely disable the
     # cache on multi-chip runs).
     compat_cache_shards: int = 1
-    # Seed-kNN top-k backend. "exact" (= "auto"): lax.top_k. "values":
+    # Seed-kNN top-k backend. "auto": fused on TPU (k+1 <= 128 guard),
+    # exact elsewhere. "exact": lax.top_k over the einsum dist. "fused":
+    # Pallas matmul+streaming-top-k (ops/fused_topk.py) — exact neighbor
+    # sets ranked with f32 accumulation, no [B, S, N] dist in HBM;
+    # 6.6x the einsum+top_k pair it replaces (scripts/bench_topk.py).
+    # "values":
     # approx_max_k recall_target=1.0 — exact top-k VALUES via the native
     # PartialReduce; faster standalone (110 vs 162 ms) but identical
     # in-model (XLA fuses the bf16 ranking equally well); only tie ORDER
@@ -447,13 +452,40 @@ class PointDSC(nn.Module):
         # is bit-identical and cuts the top_k cost 10x (TPU top_k over
         # [B, N, N] dominated the whole forward).
         seed_feats = jax.vmap(lambda xb, ib: xb[ib])(corr_features, seeds)
+        # ignore_self via k+1 then dropping the closest (the seed itself),
+        # exactly as the reference's knn(ignore_self=True).
+        mode = self.knn_topk
+        if mode == "auto":
+            # Fused Pallas backend on TPU when k+1 fits the kernel's lane
+            # width (6.6x the einsum+top_k pair at the b=64 eval shape);
+            # plain XLA exact elsewhere (the interpreter is test-only).
+            mode = ("fused" if jax.default_backend() == "tpu"
+                    and k + 1 <= 128 else "exact")
+        if mode == "fused":
+            # Pallas fused matmul+top-k: exact neighbor sets (f32-accum
+            # ranking), no [B, S, N] dist materialization — ~10x the
+            # XLA einsum+top_k pair at the b=64 eval shape.
+            from gmf_tpu.ops.fused_topk import seed_knn_topk
+
+            interp = jax.default_backend() == "cpu"
+            if corr_mask is None:
+                knn_idx, _ = jax.vmap(
+                    lambda sf, fb: seed_knn_topk(
+                        sf, fb, k + 1, interpret=interp)
+                )(seed_feats, corr_features)
+            else:
+                knn_idx, _ = jax.vmap(
+                    lambda sf, fb, mb: seed_knn_topk(
+                        sf, fb, k + 1, mask=mb, interpret=interp)
+                )(seed_feats, corr_features, corr_mask)
+            knn_idx = knn_idx[..., 1:]
+            return self._seed_trans_from_knn(
+                seeds, sigma, corr_features, src_keypts, tgt_keypts,
+                corr_mask, knn_idx, testing=testing)
         dist = 2.0 - 2.0 * jnp.einsum(
             "bsc,bnc->bsn", seed_feats, corr_features, precision=_PREC)
         if corr_mask is not None:
             dist = jnp.where(corr_mask[:, None, :] > 0, dist, jnp.inf)
-        # ignore_self via k+1 then dropping the closest (the seed itself),
-        # exactly as the reference's knn(ignore_self=True).
-        mode = "exact" if self.knn_topk == "auto" else self.knn_topk
         if mode == "exact":
             _, knn_idx = jax.lax.top_k(-dist, k + 1)
         elif mode in ("values", "approx"):
@@ -468,6 +500,19 @@ class PointDSC(nn.Module):
         else:
             raise ValueError(f"unknown knn_topk mode {self.knn_topk!r}")
         knn_idx = knn_idx[..., 1:]
+        return self._seed_trans_from_knn(
+            seeds, sigma, corr_features, src_keypts, tgt_keypts, corr_mask,
+            knn_idx, testing=testing)
+
+    def _seed_trans_from_knn(self, seeds, sigma, corr_features, src_keypts,
+                             tgt_keypts, corr_mask, knn_idx,
+                             testing: bool = False):
+        """Steps 3-4 of _cal_seed_trans given the seed neighbor indices
+        (shared by every knn_topk backend).
+        Parity: GMF_PointDSC/models/PointDSC.py:337-427."""
+        B, N, C = corr_features.shape
+        k = knn_idx.shape[-1]
+        sigma_spat = jnp.asarray(self.sigma_d, self.dtype)
 
         def gather_feat(x, idx):
             # x [B, N, D], idx [B, S, k] -> [B, S, k, D]

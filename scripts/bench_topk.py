@@ -96,6 +96,38 @@ def main():
         print(f"grouped tg={tg:5d}     : {dt*1e3:8.1f} ms  "
               f"{'EXACT' if ok else 'MISMATCH'}")
 
+    # fused Pallas matmul+top-k, timed against the full einsum+top_k
+    # pair it replaces (both start from features, not a prebuilt dist)
+    from gmf_tpu.ops.fused_topk import seed_knn_topk
+
+    C = 128
+    feats = jnp.asarray(np.random.RandomState(1).randn(B, N, C), jnp.float32)
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    sf = feats[:, :S]
+
+    def pair(sf, feats):
+        dist = 2.0 - 2.0 * jnp.einsum(
+            "bsc,bnc->bsn", sf, feats,
+            precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.top_k(-dist, k)
+
+    for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        sfd, fd = sf.astype(dt), feats.astype(dt)
+        fn = jax.jit(pair)
+        dtime = timeit(lambda: fn(sfd, fd))
+        pv, pi = fn(sfd, fd)
+        pv, pi = np.asarray(pv.astype(jnp.float32)), np.asarray(pi)
+        print(f"einsum+top_k ({tag:4s})  : {dtime*1e3:8.1f} ms")
+
+        fused = jax.jit(lambda s, f: jax.vmap(
+            lambda ss, ff: seed_knn_topk(ss, ff, k))(s, f))
+        dtime = timeit(lambda: fused(sfd, fd))
+        fi, fv = fused(sfd, fd)
+        fi = np.asarray(fi)
+        match = (fi == pi).mean()
+        print(f"fused pallas ({tag:4s})  : {dtime*1e3:8.1f} ms  "
+              f"idx_match={match:.4f}")
+
     for rt in (1.0, 0.95, 0.9):
         fn = jax.jit(lambda x, rt=rt: jax.lax.approx_max_k(
             x, k, recall_target=rt, aggregate_to_topk=True))

@@ -204,6 +204,44 @@ def test_knn_topk_values_mode_matches_exact(rng):
             == np.asarray(out_e["final_labels"])).mean() > 0.99
 
 
+def test_knn_topk_fused_mode_matches_exact(rng):
+    """knn_topk="fused" (Pallas matmul+streaming-top-k) selects the same
+    neighbor sets as the exact backend; the full test-mode forward must
+    match, including under a padded batch mask."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    exact = PointDSC(knn_topk="exact", **kw)
+    fusedk = PointDSC(knn_topk="fused", **kw)
+
+    N = 120
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    ang = 0.3
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([0.1, 0.2, 0.0], np.float32)
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+
+    # padded batch: zero the masked tail (the LCPE zero-padding contract)
+    mask = np.ones((1, N), np.float32)
+    mask[:, 100:] = 0.0
+    corr[:, 100:] = 0.0
+    src[:, 100:] = 0.0
+    tgt[:, 100:] = 0.0
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = exact.init(jax.random.PRNGKey(0), *args)
+    for m in (None, jnp.asarray(mask)):
+        out_e = exact.apply(variables, *args, testing=True, corr_mask=m)
+        out_f = fusedk.apply(variables, *args, testing=True, corr_mask=m)
+        np.testing.assert_allclose(
+            np.asarray(out_f["final_trans"]),
+            np.asarray(out_e["final_trans"]), atol=1e-4)
+        assert (np.asarray(out_f["final_labels"])
+                == np.asarray(out_e["final_labels"])).mean() > 0.99
+
+
 def test_auto_compat_cache_gate():
     """The auto gate's tiers match the measured HBM envelope: f32 for
     small shapes, int8 up to the empirical 1.75 GB ceiling, streaming
