@@ -100,6 +100,10 @@ def main():
                     choices=("auto", "exact", "values", "approx"),
                     help="seed-kNN top-k backend override (see "
                          "PointDSC.knn_topk); overrides --approx-knn")
+    ap.add_argument("--hypo-scoring", default="auto",
+                    choices=("auto", "dense", "fused"),
+                    help="hypothesis-scoring backend override (see "
+                         "PointDSC.hypo_scoring; auto = fused on TPU)")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -180,11 +184,11 @@ def main():
     if args.tiny:
         model = PointDSC(num_layers=2, num_channels=32, k=10,
                          fused_attention=args.fused, dtype=dtype,
-                         knn_topk=knn_topk)
+                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring)
         image_hw = (24, 32)
     else:
         model = PointDSC(fused_attention=args.fused, dtype=dtype,
-                         knn_topk=knn_topk)
+                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring)
         image_hw = (120, 160)
 
     rng = np.random.RandomState(0)

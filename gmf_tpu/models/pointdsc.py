@@ -273,6 +273,14 @@ class PointDSC(nn.Module):
     # and 370 -> 292.6 ms/batch (+27% pairs/s) on the b=64 eval forward
     # (scripts/bench_topk.py).
     knn_topk: str = "auto"
+    # Hypothesis-scoring backend. "auto": fused on TPU, dense elsewhere.
+    # "fused": Pallas bilinear-form kernel (ops/fused_scoring.py) — the
+    # [B, S, N] warp/L2 tensors (6.4 GB f32 at the b=64 eval shape)
+    # never exist in HBM; exact f32 integer counts (strictly closer to
+    # the reference's f32 scoring than the bf16 dense path). "dense":
+    # the XLA path. Selection ties at the d==threshold float knife-edge
+    # may differ between backends (docstring in ops/fused_scoring.py).
+    hypo_scoring: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -565,27 +573,67 @@ class PointDSC(nn.Module):
 
         # Hypothesis scoring: inlier count under each seed transform
         # (ref :413-419).
-        pred = jnp.einsum(
-            "bsij,bnj->bsni", seedwise_trans[:, :, :3, :3], src_keypts,
-            precision=_PREC,
-        ) + seedwise_trans[:, :, None, :3, 3]
-        L2_dis = jnp.linalg.norm(pred - tgt_keypts[:, None, :, :], axis=-1)
-        inlier = (L2_dis < self.inlier_threshold).astype(self.dtype)
-        if corr_mask is not None:
-            inlier = inlier * corr_mask[:, None, :]
-            seedwise_fitness = jnp.sum(inlier, axis=-1) / (
-                jnp.sum(corr_mask, axis=-1)[:, None] + 1e-6
-            )
-        else:
-            seedwise_fitness = jnp.mean(inlier, axis=-1)
+        smode = self.hypo_scoring
+        if smode == "auto":
+            smode = "fused" if jax.default_backend() == "tpu" else "dense"
+        if smode == "fused":
+            # Pallas bilinear-form kernel (ops/fused_scoring.py): exact
+            # f32 counts, no [B, S, N] HBM tensors. The best seed's L2
+            # row is recomputed below from final_trans alone ([B, N] —
+            # same einsum/precision as the dense path).
+            from gmf_tpu.ops.fused_scoring import seed_hypothesis_counts
 
-        best = jnp.argmax(seedwise_fitness, axis=-1)
-        final_trans = jnp.take_along_axis(
-            seedwise_trans, best[:, None, None, None], axis=1
-        ).squeeze(1)
-        final_L2 = jnp.take_along_axis(
-            L2_dis, best[:, None, None], axis=1
-        ).squeeze(1)
+            interp = jax.default_backend() == "cpu"
+            if corr_mask is None:
+                counts = jax.vmap(
+                    lambda tr, s, t: seed_hypothesis_counts(
+                        tr, s, t, self.inlier_threshold, interpret=interp)
+                )(seedwise_trans, src_keypts, tgt_keypts)
+                seedwise_fitness = (counts / N).astype(self.dtype)
+            else:
+                counts = jax.vmap(
+                    lambda tr, s, t, m: seed_hypothesis_counts(
+                        tr, s, t, self.inlier_threshold, mask=m,
+                        interpret=interp)
+                )(seedwise_trans, src_keypts, tgt_keypts, corr_mask)
+                seedwise_fitness = (counts / (
+                    jnp.sum(corr_mask, axis=-1)[:, None] + 1e-6
+                )).astype(self.dtype)
+            best = jnp.argmax(seedwise_fitness, axis=-1)
+            final_trans = jnp.take_along_axis(
+                seedwise_trans, best[:, None, None, None], axis=1
+            ).squeeze(1)
+            pred_best = jnp.einsum(
+                "bij,bnj->bni", final_trans[:, :3, :3], src_keypts,
+                precision=_PREC,
+            ) + final_trans[:, None, :3, 3]
+            final_L2 = jnp.linalg.norm(pred_best - tgt_keypts, axis=-1)
+        elif smode == "dense":
+            pred = jnp.einsum(
+                "bsij,bnj->bsni", seedwise_trans[:, :, :3, :3], src_keypts,
+                precision=_PREC,
+            ) + seedwise_trans[:, :, None, :3, 3]
+            L2_dis = jnp.linalg.norm(pred - tgt_keypts[:, None, :, :],
+                                     axis=-1)
+            inlier = (L2_dis < self.inlier_threshold).astype(self.dtype)
+            if corr_mask is not None:
+                inlier = inlier * corr_mask[:, None, :]
+                seedwise_fitness = jnp.sum(inlier, axis=-1) / (
+                    jnp.sum(corr_mask, axis=-1)[:, None] + 1e-6
+                )
+            else:
+                seedwise_fitness = jnp.mean(inlier, axis=-1)
+
+            best = jnp.argmax(seedwise_fitness, axis=-1)
+            final_trans = jnp.take_along_axis(
+                seedwise_trans, best[:, None, None, None], axis=1
+            ).squeeze(1)
+            final_L2 = jnp.take_along_axis(
+                L2_dis, best[:, None, None], axis=1
+            ).squeeze(1)
+        else:
+            raise ValueError(
+                f"unknown hypo_scoring mode {self.hypo_scoring!r}")
         final_labels = (final_L2 < self.inlier_threshold).astype(self.dtype)
         if corr_mask is not None:
             final_labels = final_labels * corr_mask

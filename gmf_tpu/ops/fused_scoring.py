@@ -1,0 +1,179 @@
+"""Pallas kernel: fused seed-hypothesis scoring (warp + threshold + count).
+
+PointDSC scores every seed hypothesis by counting the correspondences it
+registers within ``inlier_threshold`` (models/pointdsc.py
+_seed_trans_from_knn, reference GMF_PointDSC/models/PointDSC.py:413-419):
+
+    pred[s, n] = R_s @ src[n] + t_s
+    fitness[s] = mean_n( |pred[s, n] - tgt[n]| < threshold )
+
+The XLA path materializes ``pred [B, S, N, 3]`` and ``L2 [B, S, N]`` —
+at the b=64 eval shape that is gigabytes of HBM traffic per forward (the
+L2 tensor alone is 6.4 GB f32), and the same live set is what pushed the
+LoMatch compat cache out of memory.
+
+This kernel never touches HBM with an [S, N] tensor. The squared
+residual is a bilinear form in per-point and per-seed features::
+
+    |R s + t - u|^2 = (|s|^2 + |u|^2) * 1            # u = tgt point
+                    + sum_ij (u_i s_j) * (-2 R_ij)   # cross term
+                    + s . (2 R^T t)
+                    + u . (-2 t)
+                    + 1 * |t|^2                      # |R s|^2 == |s|^2
+
+so the whole [S, N] squared-distance matrix is ONE matmul between a
+17-dim per-point feature F[n] and per-seed feature G[s] (both
+zero-padded to 128 lanes — free on the MXU, which pads the contraction
+to 128 regardless). Each grid step computes one [BS, BN] d^2 tile on
+the MXU (f32 HIGHEST — the bilinear expansion cancels ~|coords|^2-sized
+terms down to ~threshold^2, far below bf16 resolution), thresholds and
+masks it in-register, and folds the count into a [BS, 1] VMEM
+accumulator. HBM traffic: O(S + N) instead of O(S * N).
+
+Numerics: counts are exact f32 integers (<= N < 2^24). The only
+deviation from the dense path is float rounding of d^2 at the threshold
+knife-edge (|d - threshold| ~ 1e-5 m at 3DMatch scale); the dense
+bf16-model path quantizes fitness itself to bf16 (integer counts > 256
+round), so the kernel is strictly CLOSER to the reference's f32 scoring
+than the bf16 XLA path it replaces.
+
+The kernel is wrapped in stop_gradient: thresholded counts are
+piecewise-constant (zero gradient a.e.) in the dense path too, and the
+reference's selection (torch argmax over inlier counts) is likewise
+non-differentiable. Gradients to ``final_trans`` flow through the
+seedwise transforms' gather, not through the scores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F = 17    # live feature columns (see module docstring)
+_FP = 128  # padded feature width (MXU contraction lanes)
+
+
+def _point_features(src, tgt):
+    """[N, 3] x2 -> F [N, _FP] f32 (zero-padded)."""
+    s = src.astype(jnp.float32)
+    u = tgt.astype(jnp.float32)
+    n = s.shape[0]
+    cols = [
+        (jnp.sum(s * s, axis=1) + jnp.sum(u * u, axis=1))[:, None],  # 1
+        (u[:, :, None] * s[:, None, :]).reshape(n, 9),               # 9
+        s,                                                           # 3
+        u,                                                           # 3
+        jnp.ones((n, 1), jnp.float32),                               # 1
+    ]
+    f = jnp.concatenate(cols, axis=1)
+    return jnp.pad(f, ((0, 0), (0, _FP - _F)))
+
+
+def _seed_features(trans):
+    """[S, 4, 4] -> G [S, _FP] f32 (zero-padded), matching _point_features
+    column order."""
+    tr = trans.astype(jnp.float32)
+    R = tr[:, :3, :3]
+    t = tr[:, :3, 3]
+    s = R.shape[0]
+    cols = [
+        jnp.ones((s, 1), jnp.float32),                   # * (|s|^2+|u|^2)
+        -2.0 * R.reshape(s, 9),                          # * (u_i s_j)
+        2.0 * jnp.einsum("sij,si->sj", R, t),            # * s
+        -2.0 * t,                                        # * u
+        jnp.sum(t * t, axis=1)[:, None],                 # * 1
+    ]
+    g = jnp.concatenate(cols, axis=1)
+    return jnp.pad(g, ((0, 0), (0, _FP - _F)))
+
+
+def _kernel(g_ref, f_ref, mask_ref, cnt_ref, acc, *, thr_sq: float,
+            n_tiles: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    # [BS, BN] squared residuals on the MXU. HIGHEST is mandatory: the
+    # expansion cancels ~|coords|^2 terms down to ~thr^2, far below
+    # single-pass-bf16 resolution.
+    d2 = jax.lax.dot_general(
+        g_ref[:], f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    ok = jnp.logical_and(d2 < thr_sq, mask_ref[:] > 0.0)
+    acc[:] = acc[:] + jnp.sum(ok.astype(jnp.float32), axis=1,
+                              keepdims=True)
+
+    @pl.when(j == n_tiles - 1)
+    def _store():
+        cnt_ref[:] = jnp.broadcast_to(acc[:], cnt_ref.shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("thr_sq", "block_s", "block_n", "interpret"))
+def _counts_jit(G, F, mask, thr_sq: float, block_s: int, block_n: int,
+                interpret: bool):
+    S = G.shape[0]
+    N = F.shape[0]
+    bs, bn = block_s, block_n
+    Sp = S + (-S) % bs
+    Np = N + (-N) % bn
+    Gp = jnp.pad(G, ((0, Sp - S), (0, 0)))
+    Fp = jnp.pad(F, ((0, Np - N), (0, 0)))
+    mp = jnp.pad(mask, (0, Np - N)).reshape(1, Np)  # pads -> 0 (masked)
+
+    cnt = pl.pallas_call(
+        functools.partial(_kernel, thr_sq=thr_sq, n_tiles=Np // bn),
+        out_shape=jax.ShapeDtypeStruct((Sp, 128), jnp.float32),
+        grid=(Sp // bs, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bs, _FP), lambda i, j: (i, 0)),  # seed feats
+            pl.BlockSpec((bn, _FP), lambda i, j: (j, 0)),  # point feats
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),    # point mask
+        ],
+        out_specs=pl.BlockSpec((bs, 128), lambda i, j: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(Gp, Fp, mp)
+    return cnt[:S, 0]
+
+
+def seed_hypothesis_counts(trans, src_keypts, tgt_keypts, threshold: float,
+                           mask=None, block_s: int = None,
+                           block_n: int = None, interpret: bool = False):
+    """Inlier count of every seed hypothesis, fused on TPU.
+
+    Equivalent to the dense scoring
+    ``sum_n(|R_s src_n + t_s - tgt_n| < threshold)`` (reference
+    PointDSC.py:413-419) without materializing ``[S, N, 3]`` / ``[S, N]``
+    tensors — O(S + N) HBM traffic, exact f32 integer counts.
+
+    Args:
+      trans: [S, 4, 4] seed transforms (rotations orthonormal — Kabsch
+        outputs; the expansion uses |R s| == |s|).
+      src_keypts, tgt_keypts: [N, 3].
+      threshold: static inlier radius.
+      mask: optional [N] validity; invalid points never count.
+
+    Returns counts [S] f32.
+    """
+    N = src_keypts.shape[0]
+    bs = block_s or (8 if interpret else 256)
+    bn = block_n or (128 if interpret else 1024)
+    m = (jnp.ones((N,), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
+    G = _seed_features(trans)
+    F = _point_features(src_keypts, tgt_keypts)
+    # Thresholded counts are zero-gradient a.e. in the dense path too;
+    # cut the graph so autodiff never traverses the kernel.
+    return _counts_jit(
+        jax.lax.stop_gradient(G), jax.lax.stop_gradient(F),
+        jax.lax.stop_gradient(m), float(threshold) ** 2, bs, bn, interpret)

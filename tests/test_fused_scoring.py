@@ -1,0 +1,142 @@
+"""Parity of the fused hypothesis-scoring kernel vs the dense XLA path.
+
+The fused kernel (ops/fused_scoring.py) computes seed inlier counts via
+a bilinear-form matmul instead of materializing [S, N] warp/L2 tensors;
+counts must equal the dense path exactly away from the d == threshold
+float knife-edge (random rigid-motion problems never land on it).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmf_tpu.models import PointDSC
+from gmf_tpu.ops.fused_scoring import seed_hypothesis_counts
+
+
+def _dense_counts(trans, src, tgt, thr, mask=None):
+    pred = jnp.einsum(
+        "sij,nj->sni", trans[:, :3, :3], src,
+        precision=jax.lax.Precision.HIGHEST) + trans[:, None, :3, 3]
+    L2 = jnp.linalg.norm(pred - tgt[None], axis=-1)
+    inl = (L2 < thr).astype(jnp.float32)
+    if mask is not None:
+        inl = inl * mask[None, :]
+    return jnp.sum(inl, axis=-1)
+
+
+def _random_transforms(rng, S):
+    """Random proper rotations (QR-orthonormalized) + translations."""
+    A = rng.randn(S, 3, 3).astype(np.float64)
+    T = np.zeros((S, 4, 4), np.float32)
+    for s in range(S):
+        q, r = np.linalg.qr(A[s])
+        q = q * np.sign(np.diag(r))[None, :]
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        T[s, :3, :3] = q.astype(np.float32)
+    T[:, :3, 3] = 0.3 * rng.randn(S, 3).astype(np.float32)
+    T[:, 3, 3] = 1.0
+    return T
+
+
+@pytest.mark.parametrize("S,N", [(8, 100), (37, 333), (50, 500)])
+def test_counts_match_dense(S, N):
+    rng = np.random.RandomState(0)
+    T = jnp.asarray(_random_transforms(rng, S))
+    src = jnp.asarray(rng.rand(N, 3).astype(np.float32) * 3)
+    # half the points follow transform 0 exactly -> seed 0 scores high
+    tgt = np.asarray(jax.vmap(lambda p: T[0, :3, :3] @ p + T[0, :3, 3])(src))
+    out = rng.rand(N, 3).astype(np.float32) * 3
+    keep = rng.rand(N) < 0.5
+    tgt = np.where(keep[:, None], tgt, out)
+    tgt = jnp.asarray(tgt)
+
+    counts = seed_hypothesis_counts(T, src, tgt, 0.10, interpret=True)
+    ref = _dense_counts(T, src, tgt, 0.10)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))
+    assert np.asarray(counts)[0] >= keep.sum()
+
+
+def test_masked_points_never_count():
+    rng = np.random.RandomState(1)
+    S, N = 16, 200
+    T = jnp.asarray(_random_transforms(rng, S))
+    src = jnp.asarray(rng.rand(N, 3).astype(np.float32) * 3)
+    tgt = jnp.asarray(rng.rand(N, 3).astype(np.float32) * 3)
+    mask = jnp.asarray((rng.rand(N) > 0.4).astype(np.float32))
+
+    counts = seed_hypothesis_counts(T, src, tgt, 0.5, mask=mask,
+                                    interpret=True)
+    ref = _dense_counts(T, src, tgt, 0.5, mask=mask)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))
+
+    # an all-permissive threshold counts exactly the unmasked points
+    counts_all = seed_hypothesis_counts(T, src, tgt, 1e6, mask=mask,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(counts_all),
+                                  np.full(S, float(np.asarray(mask).sum())))
+
+
+def test_identity_transform_exact_inliers():
+    """With T = identity and controlled distances, the counts are the
+    designed inlier set (no knife-edge: distances are 0.05 or 0.5)."""
+    N = 64
+    rng = np.random.RandomState(2)
+    src = rng.rand(N, 3).astype(np.float32)
+    offs = np.zeros((N, 3), np.float32)
+    inl = rng.rand(N) < 0.3
+    offs[~inl, 0] = 0.5
+    offs[inl, 0] = 0.05
+    tgt = src + offs
+    T = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+    counts = seed_hypothesis_counts(T, jnp.asarray(src), jnp.asarray(tgt),
+                                    0.10, interpret=True)
+    assert np.asarray(counts)[0] == inl.sum()
+
+
+def test_model_fused_scoring_matches_dense(rng):
+    """PointDSC(hypo_scoring='fused') must reproduce the dense model's
+    selection and labels (CPU interpret mode, f32)."""
+    kw = dict(num_layers=2, num_channels=32, ratio=0.1, k=10, sigma_d=0.10)
+    dense = PointDSC(hypo_scoring="dense", **kw)
+    fused = PointDSC(hypo_scoring="fused", **kw)
+
+    N = 128
+    src = rng.rand(1, N, 3).astype(np.float32) * 2
+    ang = 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    tgt = src @ R.T + np.array([0.2, 0.1, 0.0], np.float32)
+    out_idx = rng.choice(N, N // 3, replace=False)
+    tgt[0, out_idx] = rng.rand(N // 3, 3) * 2
+    corr = np.concatenate([src - src.mean(1, keepdims=True),
+                           tgt - tgt.mean(1, keepdims=True)], -1)
+    img = rng.rand(1, 16, 16, 3).astype(np.float32)
+    args = (jnp.asarray(corr), jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(img), jnp.asarray(img))
+
+    variables = dense.init(jax.random.PRNGKey(0), *args)
+    for testing in (True, False):
+        out_d = dense.apply(variables, *args, testing=testing)
+        out_f = fused.apply(variables, *args, testing=testing)
+        np.testing.assert_allclose(
+            np.asarray(out_f["final_trans"]),
+            np.asarray(out_d["final_trans"]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out_f["seed_fitness"]),
+            np.asarray(out_d["seed_fitness"]), atol=1e-6)
+
+    # padded-batch path: masked tail must not change the result
+    pad = 32
+    maskp = jnp.asarray(
+        np.concatenate([np.ones((1, N)), np.zeros((1, pad))], 1)
+        .astype(np.float32))
+    argsp = tuple(
+        jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        if a.ndim == 3 and a.shape[1] == N else a for a in args)
+    out_p = fused.apply(variables, *argsp, testing=True, corr_mask=maskp)
+    out_u = fused.apply(variables, *args, testing=True)
+    np.testing.assert_allclose(np.asarray(out_p["final_trans"]),
+                               np.asarray(out_u["final_trans"]), atol=1e-4)
