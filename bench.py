@@ -73,7 +73,10 @@ def main():
     # bench_sweep_r2.txt; 128 exhausts HBM) — batching pairs amortizes
     # this machine's ~50 ms relay floor legitimately (every call still
     # host-syncs on the fetched transforms).
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pair batch size (default 64; KITTI preset 8, "
+                         "LoMatch preset 2 — an explicit value always "
+                         "wins over the preset)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", help="force CPU")
@@ -104,6 +107,11 @@ def main():
                     choices=("auto", "dense", "fused"),
                     help="hypothesis-scoring backend override (see "
                          "PointDSC.hypo_scoring; auto = fused on TPU)")
+    ap.add_argument("--compat-cache", default="auto",
+                    choices=("auto", "off", "f32", "bf16", "int8"),
+                    help="compat-cache mode override (see "
+                         "PointDSC.compat_cache; auto gates on HBM "
+                         "footprint)")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -133,9 +141,7 @@ def main():
     args = ap.parse_args()
     if args.lomatch:
         args.num_corr = 30000
-        if args.batch > 2:
-            print(f"--lomatch: clamping --batch {args.batch} -> 2",
-                  file=sys.stderr)
+        if args.batch is None:
             args.batch = 2
         if args.bf16 is None:
             args.bf16 = True
@@ -143,12 +149,9 @@ def main():
             args.fused = True
     if args.kitti:
         args.num_corr = 12000
-        # b=8 is where N=12000 throughput flattens on v5e
+        # b=8: where N=12000 throughput flattened pre-fused-scoring
         # (18.0 / 21.1 / 22.7 pairs/s at b = 2 / 4 / 8, r2 sweep)
-        if args.batch > 8:
-            print(f"--kitti: clamping --batch {args.batch} -> 8 "
-                  "(N=12000 throughput flattens there; larger OOMs HBM)",
-                  file=sys.stderr)
+        if args.batch is None:
             args.batch = 8
         if args.bf16 is None:
             args.bf16 = True
@@ -156,6 +159,8 @@ def main():
             args.fused = True
     baseline = (KITTI_BASELINE_PAIRS_PER_SEC if args.kitti
                 else BASELINE_PAIRS_PER_SEC)
+    if args.batch is None:
+        args.batch = 64
 
     if not args.cpu and not _wait_for_tpu():
         raise SystemExit(2)
@@ -184,11 +189,13 @@ def main():
     if args.tiny:
         model = PointDSC(num_layers=2, num_channels=32, k=10,
                          fused_attention=args.fused, dtype=dtype,
-                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring)
+                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring,
+                         compat_cache=args.compat_cache)
         image_hw = (24, 32)
     else:
         model = PointDSC(fused_attention=args.fused, dtype=dtype,
-                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring)
+                         knn_topk=knn_topk, hypo_scoring=args.hypo_scoring,
+                         compat_cache=args.compat_cache)
         image_hw = (120, 160)
 
     rng = np.random.RandomState(0)
