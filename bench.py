@@ -161,6 +161,15 @@ def main():
                 else BASELINE_PAIRS_PER_SEC)
     if args.batch is None:
         args.batch = 64
+    else:
+        # Explicit --batch always wins, but warn when it exceeds the
+        # preset's measured HBM ceiling (r2/r3 sweeps): the run will
+        # likely OOM on a 16 GB v5e chip.
+        ceiling = 2 if args.lomatch else 8 if args.kitti else 64
+        if args.batch > ceiling and not args.cpu:
+            print(f"warning: --batch {args.batch} exceeds the known-good "
+                  f"ceiling {ceiling} for this preset on a 16 GB v5e; "
+                  "expect an HBM OOM (override kept).", file=sys.stderr)
 
     if not args.cpu and not _wait_for_tpu():
         raise SystemExit(2)

@@ -83,7 +83,7 @@ class NonLocalBlock(nn.Module):
             assert h == 1, "fused path supports the reference's 1-head case"
             from gmf_tpu.ops.fused_attention import compat_flash_attention
 
-            interpret = jax.default_backend() == "cpu"
+            interpret = jax.default_backend() != "tpu"
             mask_b = (jnp.ones((B, N), q.dtype) if corr_mask is None
                       else corr_mask)
             if compat_cache is not None:
@@ -378,7 +378,7 @@ class PointDSC(nn.Module):
                 seeds = pick_seeds_nms_fused(
                     src_keypts, conf_sg, self.nms_radius, num_seeds,
                     mask=corr_mask,
-                    interpret=jax.default_backend() == "cpu")
+                    interpret=jax.default_backend() != "tpu")
             else:
                 seeds = pick_seeds_nms(src_dist, conf_sg, self.nms_radius,
                                        num_seeds, mask=corr_mask)
@@ -425,7 +425,7 @@ class PointDSC(nn.Module):
         from gmf_tpu.ops.fused_attention import (build_compat_cache,
                                                  padded_len)
 
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
         Np = padded_len(N, interpret=interpret)
         if mode in ("auto", True):
             if interpret:
@@ -475,7 +475,7 @@ class PointDSC(nn.Module):
             # XLA einsum+top_k pair at the b=64 eval shape.
             from gmf_tpu.ops.fused_topk import seed_knn_topk
 
-            interp = jax.default_backend() == "cpu"
+            interp = jax.default_backend() != "tpu"
             if corr_mask is None:
                 knn_idx, _ = jax.vmap(
                     lambda sf, fb: seed_knn_topk(
@@ -583,7 +583,7 @@ class PointDSC(nn.Module):
             # same einsum/precision as the dense path).
             from gmf_tpu.ops.fused_scoring import seed_hypothesis_counts
 
-            interp = jax.default_backend() == "cpu"
+            interp = jax.default_backend() != "tpu"
             if corr_mask is None:
                 counts = jax.vmap(
                     lambda tr, s, t: seed_hypothesis_counts(

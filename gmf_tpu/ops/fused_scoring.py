@@ -32,10 +32,17 @@ accumulator. HBM traffic: O(S + N) instead of O(S * N).
 
 Numerics: counts are exact f32 integers (<= N < 2^24). The only
 deviation from the dense path is float rounding of d^2 at the threshold
-knife-edge (|d - threshold| ~ 1e-5 m at 3DMatch scale); the dense
-bf16-model path quantizes fitness itself to bf16 (integer counts > 256
-round), so the kernel is strictly CLOSER to the reference's f32 scoring
-than the bf16 XLA path it replaces.
+knife-edge, and that window is COORDINATE-SCALE DEPENDENT: the
+expansion cancels ~|coords|^2-sized terms, so the d^2 error is
+~eps_f32 * |coords|^2 — ~1e-5 m in d at 3DMatch scale (coords ~3 m,
+threshold 0.10), growing to ~1e-3..1e-2 m^2 in d^2 at KITTI LiDAR
+scale (coords tens of meters), i.e. mm-scale in d near the 0.6 m
+threshold. Harmless for inlier counts (a handful of knife-edge points
+out of N), and still tighter than the dense bf16-model path, which
+quantizes fitness itself to bf16 (integer counts > 256 round) — the
+kernel is strictly CLOSER to the reference's f32 scoring than the bf16
+XLA path it replaces. Parity at both coordinate scales is tested in
+tests/test_fused_scoring.py.
 
 The kernel is wrapped in stop_gradient: thresholded counts are
 piecewise-constant (zero gradient a.e.) in the dense path too, and the

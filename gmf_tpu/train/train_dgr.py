@@ -73,6 +73,14 @@ def main():
         "outputs", "snapshot",
         f"DGR_{args.dataset}_{time.strftime('%m%d%H%M')}")
     os.makedirs(save_dir, exist_ok=True)
+    # source provenance next to the checkpoints (ref train_3DMatch.py:30-34)
+    from gmf_tpu.utils.checkpoint import snapshot_sources
+
+    snapshot_sources(save_dir, [
+        "gmf_tpu.models.dgr", "gmf_tpu.sparse.resunet",
+        "gmf_tpu.train.dgr_trainer", "gmf_tpu.train.train_dgr",
+        "gmf_tpu.configs.presets",
+    ])
 
     # nets
     if args.tiny:

@@ -103,6 +103,14 @@ def main():
         f"PointDSC_{args.dataset}_{time.strftime('%m%d%H%M')}")
     os.makedirs(save_dir, exist_ok=True)
     cfg.to_json(os.path.join(save_dir, "config.json"))
+    # source provenance next to config.json (ref train_3DMatch.py:30-34)
+    from gmf_tpu.utils.checkpoint import snapshot_sources
+
+    snapshot_sources(save_dir, [
+        "gmf_tpu.models.pointdsc", "gmf_tpu.nn.fusion", "gmf_tpu.nn.resnet",
+        "gmf_tpu.train.trainer", "gmf_tpu.train.losses",
+        "gmf_tpu.train.train_pointdsc", "gmf_tpu.configs.presets",
+    ])
     print(f"snapshot dir: {save_dir}")
 
     # datasets

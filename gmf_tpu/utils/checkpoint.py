@@ -59,6 +59,40 @@ def save_checkpoint_orbax(path: str, state: Dict[str, Any],
     return path
 
 
+def snapshot_sources(save_dir: str, modules: Any) -> list:
+    """Copy model/config source files into ``save_dir/src/`` for
+    provenance.
+
+    Contract parity: the reference copies its training sources into every
+    snapshot directory alongside config.json so a checkpoint is
+    reproducible from the snapshot alone
+    (GMF_PointDSC/train_3DMatch.py:30-34; SURVEY §5 checkpoint bullet).
+
+    ``modules`` is a list of imported modules (or dotted module names);
+    each module's ``__file__`` is copied, preserving the package-relative
+    path (``src/gmf_tpu/models/pointdsc.py`` ...). Returns the list of
+    copied destination paths.
+    """
+    import importlib
+    import shutil
+
+    copied = []
+    root = os.path.join(save_dir, "src")
+    for mod in modules:
+        if isinstance(mod, str):
+            mod = importlib.import_module(mod)
+        src = getattr(mod, "__file__", None)
+        if not src or not os.path.exists(src):
+            continue
+        # package-relative destination: .../gmf_tpu/models/pointdsc.py
+        parts = mod.__name__.split(".")
+        dst = os.path.join(root, *parts[:-1], os.path.basename(src))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        copied.append(dst)
+    return copied
+
+
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Optional[Dict]]:
     """Read (state pytree, config dict or None) from ``path``.
 

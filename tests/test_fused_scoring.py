@@ -79,6 +79,34 @@ def test_masked_points_never_count():
                                   np.full(S, float(np.asarray(mask).sum())))
 
 
+def test_kitti_scale_counts_match_dense():
+    """Large-coordinate (KITTI LiDAR scale) parity. The bilinear
+    expansion cancels ~|coords|^2-sized f32 terms, so the d^2 rounding
+    window grows to ~1e-3..1e-2 m^2 at tens-of-meter coordinates
+    (module docstring); counts must still match the dense path when
+    distances sit away from the 0.6 m threshold knife-edge (pinned here
+    to 0.1 m / 5.0 m under seed 0; other seeds' distances are
+    tens of meters)."""
+    rng = np.random.RandomState(3)
+    S, N = 32, 400
+    T_np = _random_transforms(rng, S)
+    T_np[:, :3, 3] += np.array([5.0, -3.0, 1.0], np.float32)
+    T = jnp.asarray(T_np)
+    src_np = rng.rand(N, 3).astype(np.float32) * 80 - 40  # +-40 m
+    warped = src_np @ T_np[0, :3, :3].T + T_np[0, :3, 3]
+    inl = rng.rand(N) < 0.5
+    dirs = rng.randn(N, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    tgt_np = warped + dirs * np.where(inl, 0.1, 5.0)[:, None]
+    src = jnp.asarray(src_np)
+    tgt = jnp.asarray(tgt_np.astype(np.float32))
+
+    counts = seed_hypothesis_counts(T, src, tgt, 0.6, interpret=True)
+    ref = _dense_counts(T, src, tgt, 0.6)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))
+    assert np.asarray(counts)[0] == inl.sum()
+
+
 def test_identity_transform_exact_inliers():
     """With T = identity and controlled distances, the counts are the
     designed inlier set (no knife-edge: distances are 0.05 or 0.5)."""

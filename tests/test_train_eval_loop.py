@@ -50,6 +50,10 @@ def test_pointdsc_train_checkpoint_eval_loop(tmp_path, monkeypatch):
     stamped = [d for d in os.listdir(save) if d.startswith("model_")
                and "recall" in d]
     assert len(stamped) == 2
+    # source provenance copied into the snapshot (train_3DMatch.py:30-34)
+    assert os.path.isfile(os.path.join(
+        save, "src", "gmf_tpu", "models", "pointdsc.py"))
+    assert os.path.isfile(os.path.join(save, "config.json"))
 
     model, variables = load_pointdsc(os.path.join(save, "model_best"))
 
@@ -114,6 +118,9 @@ def test_dgr_train_checkpoint_eval_loop(tmp_path, monkeypatch):
     train_dgr.main()                           # the real training CLI
     assert os.path.isdir(os.path.join(save, "best_val_checkpoint"))
     assert os.path.isdir(os.path.join(save, "checkpoint_epoch_2"))
+    # source provenance copied into the snapshot (train_3DMatch.py:30-34)
+    assert os.path.isfile(os.path.join(
+        save, "src", "gmf_tpu", "models", "dgr.py"))
 
     fcgf, fv, inlier, iv = tiny_nets()
     cfg = dgr_3dmatch()
