@@ -107,6 +107,10 @@ def main():
                     choices=("auto", "dense", "fused"),
                     help="hypothesis-scoring backend override (see "
                          "PointDSC.hypo_scoring; auto = fused on TPU)")
+    ap.add_argument("--seed-solver", default="auto",
+                    choices=("auto", "xla", "fused"),
+                    help="seed spectral-solver backend override (see "
+                         "PointDSC.seed_solver; auto = fused on TPU)")
     ap.add_argument("--compat-cache", default="auto",
                     choices=("auto", "off", "f32", "bf16", "int8"),
                     help="compat-cache mode override (see "
@@ -199,11 +203,13 @@ def main():
         model = PointDSC(num_layers=2, num_channels=32, k=10,
                          fused_attention=args.fused, dtype=dtype,
                          knn_topk=knn_topk, hypo_scoring=args.hypo_scoring,
+                         seed_solver=args.seed_solver,
                          compat_cache=args.compat_cache)
         image_hw = (24, 32)
     else:
         model = PointDSC(fused_attention=args.fused, dtype=dtype,
                          knn_topk=knn_topk, hypo_scoring=args.hypo_scoring,
+                         seed_solver=args.seed_solver,
                          compat_cache=args.compat_cache)
         image_hw = (120, 160)
 

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gmf_tpu.geometry.se3 import integrate_trans
 
@@ -95,24 +96,25 @@ def _leading_eigvec_4x4(N, num_iters: int = 40):
     Shifted power iteration: M = N + sigma*I with sigma an upper bound on
     |lambda| (row-sum bound), so M is PSD and its dominant eigenvector is
     N's most-positive one. Fixed iteration count -> static control flow.
+
+    Implementation: repeated squaring. Each (Frobenius-normalized)
+    squaring DOUBLES the effective power-iteration step count, so
+    ceil(log2(num_iters)) + 1 squarings plus two explicit matvecs reach
+    an effective exponent >= 4*num_iters in ~10 ops — vs the naive
+    num_iters sequential matvecs (the r3 hot path spent ~half the Kabsch
+    time in this loop at the [32000, 4, 4] eval shape).
     """
     sigma = jnp.sum(jnp.abs(N), axis=-1).max(axis=-1)  # Gershgorin bound
     M = N + (sigma[..., None, None] + 1.0) * jnp.eye(4, dtype=N.dtype)
-    # M^(2^k) trick: square the matrix a few times, then one matvec. Five
-    # squarings give an effective 2^5=32-step power iteration plus
-    # `num_iters` explicit refinement steps.
     v = jnp.ones(N.shape[:-1], dtype=N.dtype)
 
-    def body(_, carry):
-        M2, v = carry
-        v = jnp.einsum("...ij,...j->...i", M2, v, precision=_PREC)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
-        return M2, v
-
-    for _ in range(3):  # M <- M^2 (normalized to avoid overflow)
+    squarings = max(2, int(np.ceil(np.log2(max(2, num_iters)))) + 1)
+    for _ in range(squarings):  # M <- M^2 (normalized to avoid overflow)
         M = jnp.matmul(M, M, precision=_PREC)
         M = M / (jnp.linalg.norm(M, axis=(-2, -1), keepdims=True) + _EPS)
-    _, v = jax.lax.fori_loop(0, num_iters, body, (M, v))
+    for _ in range(2):  # matvecs apply M^(2^squarings) each
+        v = jnp.einsum("...ij,...j->...i", M, v, precision=_PREC)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
     return v
 
 

@@ -281,6 +281,17 @@ class PointDSC(nn.Module):
     # the XLA path. Selection ties at the d==threshold float knife-edge
     # may differ between backends (docstring in ops/fused_scoring.py).
     hypo_scoring: str = "auto"
+    # Seed spectral-solver backend. "xla" (default, and what "auto"
+    # resolves to): the batched XLA chain. "fused": Pallas rows-compact
+    # kernel (ops/fused_seed_solver.py) computing the per-seed feat_M/
+    # spatial_M/power-iteration weights with no [B*S, k, k] HBM tensors —
+    # bit-accurate (~1e-7 vs XLA) but MEASURED SLOWER in-model (117-155
+    # vs 222 pairs/s at the b=64 default bench, r4): at k=40 the per-seed
+    # work is too small to amortize the kernel's per-tile segment matmuls
+    # and grid overhead against XLA's fused batched ops. Kept as a
+    # validated opt-in for future tuning; eval-only (stop_gradient
+    # inside — training always takes the XLA path).
+    seed_solver: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -522,46 +533,85 @@ class PointDSC(nn.Module):
         k = knn_idx.shape[-1]
         sigma_spat = jnp.asarray(self.sigma_d, self.dtype)
 
-        def gather_feat(x, idx):
-            # x [B, N, D], idx [B, S, k] -> [B, S, k, D]
-            return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+        # Flat 2D gathers with global row ids instead of a vmapped
+        # per-batch gather, and BOTH coordinate sets through one packed
+        # [B*N, 8] f32 plane. Bit-identical outputs, ~1.8x faster on TPU:
+        # the [B,S,k,3] coord gathers lane-pad 3->128 (16-43x wasted HBM
+        # traffic) and the vmapped form lowers worse than one flat gather
+        # (35.5 -> ~20 ms of the 55 ms spectral+Kabsch block at the b=64
+        # eval shape — scripts/bench_gather_variants.py).
+        S_ = knn_idx.shape[1]
+        rows = (knn_idx.astype(jnp.int32)
+                + (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+                ).reshape(-1)
+        knn_features = corr_features.reshape(B * N, C)[rows].reshape(
+            B, S_, k, C)
+        packed = jnp.concatenate(
+            [src_keypts, tgt_keypts,
+             jnp.zeros((B, N, 2), src_keypts.dtype)], -1
+        ).reshape(B * N, 8)
+        g = packed[rows].reshape(B, S_, k, 8)
+        src_knn, tgt_knn = g[..., :3], g[..., 3:6]
 
-        knn_features = gather_feat(corr_features, knn_idx)  # [B,S,k,C]
-        src_knn = gather_feat(src_keypts, knn_idx)          # [B,S,k,3]
-        tgt_knn = gather_feat(tgt_keypts, knn_idx)
-
-        # Feature-similarity block (ref :337-341).
-        feat_M = jnp.einsum("bskc,bsjc->bskj", knn_features, knn_features,
-                            precision=_PREC)
-        feat_M = jnp.clip(1.0 - (1.0 - feat_M) / sigma ** 2, 0.0, None)
-
-        # Spatial-consistency block (ref :347-354).
-        src_d = jnp.linalg.norm(
-            src_knn[:, :, :, None, :] - src_knn[:, :, None, :, :], axis=-1
-        )
-        tgt_d = jnp.linalg.norm(
-            tgt_knn[:, :, :, None, :] - tgt_knn[:, :, None, :, :], axis=-1
-        )
-        spatial_M = jnp.clip(
-            1.0 - (src_d - tgt_d) ** 2 / sigma_spat ** 2, 0.0, None
-        )
-
-        total_M = feat_M * spatial_M
-        total_M = total_M * (1.0 - jnp.eye(k, dtype=total_M.dtype))
-
-        # Power iteration on each seed block (ref :363, :429-448).
-        # Test mode uses the reference's early-exit power iteration; the
-        # train path needs reverse-mode autodiff, so it unrolls the fixed
-        # 10-step variant (identical at convergence, lax.while_loop is not
-        # reverse-differentiable).
         S = seeds.shape[1]
-        eig = leading_eigenvector if testing else leading_eigenvector_fixed
-        total_weight = eig(
-            total_M.reshape(B * S, k, k), num_iters=self.num_iterations
-        ).reshape(B, S, k)
-        total_weight = total_weight / (
-            jnp.sum(total_weight, axis=-1, keepdims=True) + 1e-6
-        )
+        ssmode = self.seed_solver
+        if ssmode == "auto":
+            # measured: the fused kernel loses to XLA at reference shapes
+            # (see the seed_solver attribute docstring) — auto stays XLA
+            ssmode = "xla"
+        if ssmode == "fused":
+            # Pallas rows-compact kernel (ops/fused_seed_solver.py):
+            # feat_M / spatial_M / power iteration fused in VMEM, no
+            # [B*S, k, k] HBM tensors. Eval-only (stop_gradient inside);
+            # the train path always uses the XLA graph below.
+            from gmf_tpu.ops.fused_seed_solver import fused_seed_weights
+
+            interp = jax.default_backend() != "tpu"
+            sig_sc = jnp.asarray(sigma, jnp.float32).reshape(())
+            total_weight = jax.vmap(
+                lambda f, s, t: fused_seed_weights(
+                    f, s, t, sig_sc, self.sigma_d,
+                    num_iters=self.num_iterations, interpret=interp)
+            )(knn_features, src_knn.astype(jnp.float32),
+              tgt_knn.astype(jnp.float32))
+        elif ssmode == "xla":
+            # Feature-similarity block (ref :337-341).
+            feat_M = jnp.einsum("bskc,bsjc->bskj", knn_features,
+                                knn_features, precision=_PREC)
+            feat_M = jnp.clip(1.0 - (1.0 - feat_M) / sigma ** 2, 0.0, None)
+
+            # Spatial-consistency block (ref :347-354).
+            src_d = jnp.linalg.norm(
+                src_knn[:, :, :, None, :] - src_knn[:, :, None, :, :],
+                axis=-1
+            )
+            tgt_d = jnp.linalg.norm(
+                tgt_knn[:, :, :, None, :] - tgt_knn[:, :, None, :, :],
+                axis=-1
+            )
+            spatial_M = jnp.clip(
+                1.0 - (src_d - tgt_d) ** 2 / sigma_spat ** 2, 0.0, None
+            )
+
+            total_M = feat_M * spatial_M
+            total_M = total_M * (1.0 - jnp.eye(k, dtype=total_M.dtype))
+
+            # Power iteration on each seed block (ref :363, :429-448).
+            # Test mode uses the reference's early-exit power iteration;
+            # the train path needs reverse-mode autodiff, so it unrolls
+            # the fixed 10-step variant (identical at convergence,
+            # lax.while_loop is not reverse-differentiable).
+            eig = (leading_eigenvector if testing
+                   else leading_eigenvector_fixed)
+            total_weight = eig(
+                total_M.reshape(B * S, k, k), num_iters=self.num_iterations
+            ).reshape(B, S, k)
+            total_weight = total_weight / (
+                jnp.sum(total_weight, axis=-1, keepdims=True) + 1e-6
+            )
+        else:
+            raise ValueError(
+                f"unknown seed_solver mode {self.seed_solver!r}")
 
         # Weighted Kabsch per seed (ref :405) — batched on-device.
         seedwise_trans = rigid_transform_3d(
