@@ -49,10 +49,39 @@ def main():
                          "disables): voxelization + FCGF features are "
                          "reused across the pairs a fragment appears in; "
                          "results are bit-identical either way")
+    ap.add_argument("--shard-index", type=int, default=None,
+                    help="this process' shard of the pair list (DP over "
+                         "register() streams: one process per chip on a "
+                         "v5e-8, parallel/mesh.py::process_shard; "
+                         "default jax.process_index())")
+    ap.add_argument("--shard-count", type=int, default=None,
+                    help="total shard count (default jax.process_count())")
+    ap.add_argument("--merge-shards", action="store_true",
+                    help="skip evaluation; merge OUT/dgr_stats_shard*.npy "
+                         "written by sharded runs and print the global "
+                         "summary")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("evaldgr")
+
+    if args.merge_shards:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(args.out,
+                                              "dgr_stats_shard*.npy")))
+        if not files:
+            raise SystemExit(f"no dgr_stats_shard*.npy under {args.out}")
+        stats = np.concatenate([np.load(f) for f in files], axis=0)
+        ok = stats[stats[:, 0] == 1]
+        log.info(
+            f"[merged {len(files)} shards] All {len(stats)} pairs, "
+            f"recall={stats[:, 0].mean() * 100:.2f}% "
+            f"rre={ok[:, 1].mean() if len(ok) else float('nan'):.2f} "
+            f"rte={ok[:, 2].mean() if len(ok) else float('nan'):.3f} "
+            f"safeguard used {stats[:, 4].mean() * 100:.1f}%")
+        np.save(os.path.join(args.out, "dgr_stats.npy"), stats)
+        return
 
     import jax
 
@@ -108,6 +137,17 @@ def main():
     def cached_io(key, build):
         return cache_host_arrays(key, lambda: np.asarray(build()))
 
+    # DP over register() streams: each process evaluates a disjoint,
+    # strided shard of the pair list (SURVEY §2.6 — "each of the 8 v5e
+    # cores evaluates independent pairs"; one process per chip). Shards
+    # are merged with --merge-shards.
+    from gmf_tpu.parallel.mesh import process_shard
+
+    shard_i = (args.shard_index if args.shard_index is not None
+               else jax.process_index())
+    shard_n = (args.shard_count if args.shard_count is not None
+               else jax.process_count())
+
     rows = []
     if args.dataset == "3dmatch":
         specs = []  # (scene_index, scene, key, base, i, j, T_gt)
@@ -118,6 +158,7 @@ def main():
                 i, j = key.split("_")
                 specs.append((si, scene, key, base, i, j,
                               np.linalg.inv(T_gt_ts)))
+        specs = process_shard(specs, shard_i, shard_n)
 
         class _PairLoader:
             """Indexable pair IO for the harness thread prefetcher."""
@@ -151,6 +192,7 @@ def main():
                 else [8, 9, 10])
         kds = KITTINMPairDataset(args.root, sequences=seqs,
                                  voxel_size=voxel)
+        kds.pairs = process_shard(kds.pairs, shard_i, shard_n)
 
         class _KittiPairLoader:
             def __len__(self):
@@ -220,14 +262,17 @@ def main():
     stats = np.asarray(rows)
     recall = stats[:, 0].mean() * 100
     ok = stats[stats[:, 0] == 1]
-    log.info(f"All {len(stats)} pairs, recall={recall:.2f}% "
+    shard_tag = (f" [shard {shard_i}/{shard_n}]" if shard_n > 1 else "")
+    log.info(f"All {len(stats)} pairs{shard_tag}, recall={recall:.2f}% "
              f"rre={ok[:, 1].mean() if len(ok) else float('nan'):.2f} "
              f"rte={ok[:, 2].mean() if len(ok) else float('nan'):.3f} "
              f"safeguard used {stats[:, 4].mean() * 100:.1f}%"
              + (f", frag-cache hits {engine.frag_cache_hits}/"
                 f"{2 * len(stats)}" if args.frag_cache else ""))
     os.makedirs(args.out, exist_ok=True)
-    np.save(os.path.join(args.out, "dgr_stats.npy"), stats)
+    name = (f"dgr_stats_shard{shard_i}of{shard_n}.npy" if shard_n > 1
+            else "dgr_stats.npy")
+    np.save(os.path.join(args.out, name), stats)
 
 
 if __name__ == "__main__":

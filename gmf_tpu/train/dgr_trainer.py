@@ -179,8 +179,9 @@ class WeightedProcrustesTrainer:
         grads, (metrics, new_bstats) = jax.grad(loss_fn, has_aux=True)(params)
         return grads, metrics, new_bstats
 
-    def train_pair(self, pair: Dict[str, np.ndarray]):
-        """Host prep + jitted grads for one pair."""
+    def _prep_pair_raw(self, pair: Dict[str, np.ndarray]):
+        """Granule-independent host prep: descriptors, 1-NN matching,
+        labels and the 6-D quantization (the expensive phase)."""
         pred_pairs, is_correct, F0, F1 = self.generate_inlier_input(pair)
         corr6d = np.concatenate(
             [pair["coords0"][pred_pairs[:, 0]],
@@ -188,31 +189,53 @@ class WeightedProcrustesTrainer:
         uniq, first, inverse = sparse_quantize(
             corr6d.astype(np.float64), 1.0, return_index=True,
             return_inverse=True)
+        return dict(pair=pair, pred_pairs=pred_pairs,
+                    is_correct=is_correct, F0=F0, F1=F1, uniq=uniq,
+                    first=first, inverse=inverse)
+
+    def _prep_pair_arrays(self, raw, granule: int):
+        """Static-shaped tensors for ``_pair_grads_fn`` at the given
+        bucket granule (shared by the serial and DP paths)."""
+        pair, pred_pairs = raw["pair"], raw["pred_pairs"]
         arrays = self._pyramid_arrays(
-            uniq, self.cfg.inlier_conv1_kernel_size, self.corr_cap_granule)
+            raw["uniq"], self.cfg.inlier_conv1_kernel_size, granule)
         cap = arrays["mask_0"].shape[0]
-        feats = self._uniq_feats(pair, pred_pairs, F0, F1, first, cap)
+        feats = self._uniq_feats(pair, pred_pairs, raw["F0"], raw["F1"],
+                                 raw["first"], cap)
 
         n = len(pred_pairs)
-        cap_corr = -(-n // self.corr_cap_granule) * self.corr_cap_granule
+        cap_corr = -(-n // granule) * granule
         inv = np.full(cap_corr, cap - 1, np.int32)  # padded -> any voxel
-        inv[:n] = inverse
+        inv[:n] = raw["inverse"]
         mask = np.zeros(cap_corr, np.float32)
         mask[:n] = 1.0
         corr_ok = np.zeros(cap_corr, np.float32)
-        corr_ok[:n] = is_correct
+        corr_ok[:n] = raw["is_correct"]
         src = np.zeros((cap_corr, 3), np.float32)
         tgt = np.zeros((cap_corr, 3), np.float32)
         src[:n] = pair["pcd0"][pred_pairs[:, 0]]
         tgt[:n] = pair["pcd1"][pred_pairs[:, 1]]
 
+        return dict(
+            feats=feats, pyramid=arrays,
+            p_img=jnp.asarray(pair["p_image"])[None],
+            q_img=jnp.asarray(pair["q_image"])[None],
+            src=jnp.asarray(src), tgt=jnp.asarray(tgt),
+            mask=jnp.asarray(mask), corr_ok=jnp.asarray(corr_ok),
+            T_gt=jnp.asarray(pair["T_gt"]), inv=jnp.asarray(inv))
+
+    def _prep_pair(self, pair: Dict[str, np.ndarray]):
+        """Host prep for one pair at the trainer's default granule."""
+        return self._prep_pair_arrays(self._prep_pair_raw(pair),
+                                      self.corr_cap_granule)
+
+    def train_pair(self, pair: Dict[str, np.ndarray]):
+        """Host prep + jitted grads for one pair."""
+        p = self._prep_pair(pair)
         grads, metrics, new_bstats = self._pair_grads(
-            self.inlier_params, self.inlier_bstats, feats, arrays,
-            jnp.asarray(pair["p_image"])[None],
-            jnp.asarray(pair["q_image"])[None],
-            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
-            jnp.asarray(corr_ok), jnp.asarray(pair["T_gt"]),
-            jnp.asarray(inv))
+            self.inlier_params, self.inlier_bstats, p["feats"],
+            p["pyramid"], p["p_img"], p["q_img"], p["src"], p["tgt"],
+            p["mask"], p["corr_ok"], p["T_gt"], p["inv"])
         self.inlier_bstats = new_bstats
         return grads, {k: float(v) for k, v in metrics.items()}
 
@@ -248,6 +271,140 @@ class WeightedProcrustesTrainer:
         out = {k: v / count for k, v in agg.items()}
         out["skipped"] = 0.0 if finite else 1.0
         return out
+
+    # -- data-parallel step (SURVEY §2.6 DP, DGR side) -------------------
+
+    def _make_dp_step(self, mesh):
+        """Jitted SPMD step: pair batch sharded over mesh axis 'data',
+        params/opt_state replicated, gradients reduced with an explicit
+        ``jax.lax.psum`` inside ``shard_map``.
+
+        shard_map (not bare in_shardings) is deliberate: each device
+        runs the UNPARTITIONED per-pair graph on its local shard and
+        only the scalar-weighted gradient sums cross the mesh. Leaving
+        the partitioning to XLA's automatic SPMD propagation silently
+        DROPS the cross-shard reduction of conv-kernel gradients on the
+        virtual CPU backend (r4 minimal repro: vmap(grad(conv)) summed
+        over a batch-sharded dim returns one shard's partial, ~10-30x
+        too small, while the loss stays exact); the explicit-collective
+        form is bitwise equal to the single-device step and is also the
+        shape a production multi-chip DP step should take — collectives
+        ride ICI, everything else stays local."""
+        from jax.sharding import PartitionSpec as P
+
+        def step(params, bstats, opt_state, batch, wvec):
+            def one(p, w):
+                grads, metrics, new_bstats = self._pair_grads_fn(
+                    params, bstats, p["feats"], p["pyramid"], p["p_img"],
+                    p["q_img"], p["src"], p["tgt"], p["mask"],
+                    p["corr_ok"], p["T_gt"], p["inv"])
+                # non-finite-loss skip, in-graph (ref :259-262)
+                wi = w * jnp.isfinite(metrics["loss"]).astype(jnp.float32)
+                return (jax.tree.map(lambda g: g * wi, grads),
+                        jax.tree.map(lambda m: m * wi, metrics),
+                        jax.tree.map(lambda b: b * wi, new_bstats), wi)
+
+            grads_k, metrics_k, bstats_k, w_k = jax.vmap(one)(batch, wvec)
+            psum = lambda x: jax.lax.psum(jnp.sum(x, 0), "data")  # noqa
+            total = jnp.maximum(psum(w_k), 1e-9)
+            grads = jax.tree.map(lambda g: psum(g) / total, grads_k)
+            metrics = jax.tree.map(lambda m: psum(m) / total, metrics_k)
+            new_bstats = jax.tree.map(lambda b: psum(b) / total, bstats_k)
+
+            # NaN-grad zero-out: skip the update if any grad is
+            # non-finite (ref :292-300)
+            finite = jnp.all(jnp.asarray([
+                jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)
+            ]))
+            updates, new_opt = self.optimizer.update(grads, opt_state,
+                                                     params)
+            new_params = optax.apply_updates(params, updates)
+            keep = finite & (total > 1e-8)
+            new_params = jax.tree.map(lambda a, b: jnp.where(keep, a, b),
+                                      new_params, params)
+            new_opt = jax.tree.map(lambda a, b: jnp.where(keep, a, b),
+                                   new_opt, opt_state)
+            new_bstats = jax.tree.map(lambda a, b: jnp.where(
+                total > 1e-8, a, b), new_bstats, bstats)
+            metrics = dict(metrics, skipped=1.0 - keep.astype(jnp.float32))
+            return new_params, new_opt, new_bstats, metrics
+
+        sharded = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False)
+        return jax.jit(sharded)
+
+    def train_step_dp(self, pairs, mesh):
+        """One DP update: the pair group sharded over the mesh's 'data'
+        axis — the TPU-native form of the reference's iter_size gradient
+        accumulation (core/trainer.py:159-358), with the per-pair serial
+        loop replaced by an SPMD batch and XLA collectives.
+
+        Semantics vs :meth:`train_step`: every pair's forward uses the
+        STEP-INITIAL batch stats (the serial loop threads them pair to
+        pair); the applied gradient is the same finite-masked mean.
+        Pairs must share bucket shapes (same granule caps); the group is
+        right-padded to a multiple of the mesh size by repeating the
+        last pair with weight 0.
+        """
+        # one common bucket for the whole group: every per-pair tensor is
+        # built (and masked) at the max bucket any pair needs, so the
+        # stacked batch is shard-able with static shapes
+        raws = [self._prep_pair_raw(p) for p in pairs]
+        g = self.corr_cap_granule
+        cap = g
+        for r in raws:
+            cap = max(cap, -(-len(r["uniq"]) // g) * g,
+                      -(-len(r["pred_pairs"]) // g) * g)
+        preps = [self._prep_pair_arrays(r, cap) for r in raws]
+        # unify the pruned-offset dimension across the group: pad each
+        # kernel map's kept-offset rows to the group max with the
+        # builder's own sentinel convention (all-sentinel neighbor row =
+        # zero contribution, kept-id 0; kernel_map._pad_offsets)
+        for key in [k for k in preps[0]["pyramid"] if "_map" in k]:
+            kk = key.replace("_map", "_kept")
+            K = max(p["pyramid"][key].shape[0] for p in preps)
+            for p in preps:
+                m = np.asarray(p["pyramid"][key])
+                if m.shape[0] == K:
+                    continue
+                ks = np.asarray(p["pyramid"][kk])
+                pad_rows = np.full((K - m.shape[0], m.shape[1]),
+                                   m.shape[1], m.dtype)  # uniform caps:
+                # sentinel index == input cap == column count
+                p["pyramid"][key] = jnp.asarray(
+                    np.concatenate([m, pad_rows], axis=0))
+                p["pyramid"][kk] = jnp.asarray(np.concatenate(
+                    [ks, np.zeros((K - ks.shape[0],), ks.dtype)], axis=0))
+        n_dev = mesh.shape["data"]
+        wts = [1.0] * len(preps)
+        shapes = {k: jax.tree.map(jnp.shape, v)
+                  for k, v in preps[0].items()}
+        for p in preps[1:]:
+            if {k: jax.tree.map(jnp.shape, v) for k, v in p.items()} \
+                    != shapes:
+                raise ValueError(
+                    "train_step_dp needs bucket-identical preps; common-"
+                    "bucket padding failed to unify shapes")
+        while len(preps) % n_dev:
+            preps.append(preps[-1])
+            wts.append(0.0)
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *preps)
+        wvec = jnp.asarray(wts, jnp.float32)
+
+        key = (id(mesh), len(preps))
+        if getattr(self, "_dp_step_cache", None) is None:
+            self._dp_step_cache = {}
+        if key not in self._dp_step_cache:
+            self._dp_step_cache[key] = self._make_dp_step(mesh)
+        step = self._dp_step_cache[key]
+
+        (self.inlier_params, self.opt_state, self.inlier_bstats,
+         metrics) = step(self.inlier_params, self.inlier_bstats,
+                         self.opt_state, batch, wvec)
+        return {k: float(v) for k, v in metrics.items()}
 
     def validate(self, pairs: Iterable[Dict[str, np.ndarray]]):
         """Validation pass: hit-ratio, P/R/F1, RTE/RRE, success rate.

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="data-parallel training over an N-device 'data' "
+                         "mesh: each step's pair group is sharded over "
+                         "the mesh (shard_map + gradient psum, "
+                         "dgr_trainer.train_step_dp) instead of the "
+                         "serial iter_size accumulation. N must divide "
+                         "the available device count.")
     ap.add_argument("--prefetch", type=int, default=0,
                     help="prefetch pair batches N-deep on a thread")
     ap.add_argument("--tiny", action="store_true")
@@ -166,11 +173,23 @@ def main():
 
     from gmf_tpu.data.prefetch import prefetch_iter
 
+    mesh = None
+    if args.mesh:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(f"--mesh {args.mesh} needs {args.mesh} "
+                             f"devices, have {len(devs)}")
+        mesh = Mesh(np.array(devs[:args.mesh]), ("data",))
+        print(f"DP training over a {args.mesh}-device data mesh")
+
     best = -1.0
     for epoch in range(cfg.max_epoch):
         sums, count = {}, 0
         for pairs in prefetch_iter(epoch_pairs(), args.prefetch):
-            m = trainer.train_step(pairs)
+            m = (trainer.train_step_dp(pairs, mesh) if mesh is not None
+                 else trainer.train_step(pairs))
             count += 1
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + v

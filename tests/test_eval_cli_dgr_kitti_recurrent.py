@@ -87,6 +87,10 @@ def dgr_fixture_tree(tmp_path, rng):
         f.write("0 1 2\n")
         for row in T_ts:
             f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
+        # second pair (reverse direction) so shard tests have >1 item
+        f.write("1 0 2\n")
+        for row in np.linalg.inv(T_ts):
+            f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
 
     fcgf_ckpt, inlier_ckpt = _tiny_dgr_checkpoints(tmp_path)
     return str(tmp_path), fcgf_ckpt, inlier_ckpt, scene
@@ -107,7 +111,7 @@ def test_dgr_cli(dgr_fixture_tree, monkeypatch, caplog):
     with caplog.at_level(logging.INFO):
         test_dgr.main()
     stats = np.load(os.path.join(out_dir, "dgr_stats.npy"))
-    assert stats.shape[0] == 1 and stats.shape[1] == 5
+    assert stats.shape[0] == 2 and stats.shape[1] == 5
     assert np.all(np.isfinite(stats))
     assert "recall=" in caplog.text
 
@@ -122,6 +126,46 @@ def test_dgr_cli(dgr_fixture_tree, monkeypatch, caplog):
     test_dgr.main()
     stats2 = np.load(os.path.join(out_dir2, "dgr_stats.npy"))
     np.testing.assert_array_equal(stats2, stats)
+
+
+def test_dgr_cli_sharded(dgr_fixture_tree, monkeypatch, caplog):
+    """DP over register() streams (VERDICT r3 item 2a): two disjoint
+    shards' union must reproduce the serial stats, and --merge-shards
+    must aggregate them into the global summary."""
+    root, fcgf_ckpt, inlier_ckpt, scene = dgr_fixture_tree
+    from gmf_tpu.eval import test_dgr
+
+    base = ["test_dgr", "--root", root, "--fcgf-checkpoint", fcgf_ckpt,
+            "--inlier-checkpoint", inlier_ckpt, "--scenes", scene,
+            "--voxel", "0.1", "--tiny"]
+
+    out_ser = os.path.join(root, "dgr_serial")
+    monkeypatch.setattr(sys, "argv", base + ["--out", out_ser])
+    test_dgr.main()
+    serial = np.load(os.path.join(out_ser, "dgr_stats.npy"))
+    assert serial.shape[0] == 2
+
+    out_sh = os.path.join(root, "dgr_sharded")
+    for i in range(2):
+        monkeypatch.setattr(sys, "argv", base + [
+            "--out", out_sh, "--shard-index", str(i),
+            "--shard-count", "2"])
+        test_dgr.main()
+        shard = np.load(os.path.join(out_sh,
+                                     f"dgr_stats_shard{i}of2.npy"))
+        assert shard.shape[0] == 1  # strided split of 2 pairs
+
+    import logging
+
+    monkeypatch.setattr(sys, "argv", base + ["--out", out_sh,
+                                             "--merge-shards"])
+    with caplog.at_level(logging.INFO):
+        test_dgr.main()
+    merged = np.load(os.path.join(out_sh, "dgr_stats.npy"))
+    assert "[merged 2 shards]" in caplog.text
+    # union == serial rows (order-independent)
+    np.testing.assert_allclose(
+        np.sort(merged, axis=0), np.sort(serial, axis=0), rtol=1e-6)
 
 
 def test_dgr_cli_kitti(tmp_path, rng, monkeypatch, caplog):
