@@ -55,6 +55,12 @@ class NonLocalBlock(nn.Module):
     num_heads: int = 1
     sigma_d: float = 0.10
     dtype: jnp.dtype = jnp.float32
+    # SP/CP megapair path: when set (a jax.sharding.Mesh), correspondence
+    # tokens are sharded over the mesh's 'data' axis and K/V/keypoint
+    # shards rotate around the ring with ppermute
+    # (parallel/ring_attention.py) — for num_node='all' pairs whose
+    # [N, N] attention exceeds one chip's HBM (SURVEY §2.6 SP/CP row).
+    ring_mesh: object = None
 
     @nn.compact
     def __call__(self, feat, attention, image_feat, train: bool = False,
@@ -74,7 +80,23 @@ class NonLocalBlock(nn.Module):
         v = nn.Dense(C, kernel_init=_xavier, name="projection_v",
                      dtype=self.dtype)(feat)
 
-        if fused:
+        if self.ring_mesh is not None:
+            assert h == 1, "ring path supports the reference's 1-head case"
+            from gmf_tpu.parallel.ring_attention import ring_compat_attention
+
+            mask_b = (jnp.ones((B, N), jnp.float32) if corr_mask is None
+                      else corr_mask.astype(jnp.float32))
+            outs = [
+                ring_compat_attention(
+                    q[b].astype(jnp.float32), k[b].astype(jnp.float32),
+                    v[b].astype(jnp.float32),
+                    src_keypts[b].astype(jnp.float32),
+                    tgt_keypts[b].astype(jnp.float32), mask_b[b],
+                    self.ring_mesh, sigma_d=self.sigma_d)
+                for b in range(B)
+            ]
+            message = jnp.stack(outs, axis=0).astype(self.dtype)
+        elif fused:
             # Pallas flash kernel: streams K/V blocks and rebuilds the
             # spatial-consistency matrix on the fly — never materializes
             # the [N, N] tensors (ops/fused_attention.py). With a
@@ -153,6 +175,7 @@ class NonLocalNet(nn.Module):
     num_channels: int = 128
     sigma_d: float = 0.10
     dtype: jnp.dtype = jnp.float32
+    ring_mesh: object = None  # see NonLocalBlock.ring_mesh
 
     @nn.compact
     def __call__(self, corr_feat, corr_compatibility, p_image, q_image,
@@ -190,6 +213,7 @@ class NonLocalNet(nn.Module):
             feat = NonLocalBlock(
                 num_channels=C, sigma_d=self.sigma_d,
                 name=f"NonLocal_layer_{i}", dtype=self.dtype,
+                ring_mesh=self.ring_mesh,
             )(feat, corr_compatibility, image_feat, train=train,
               corr_mask=corr_mask, src_keypts=src_keypts,
               tgt_keypts=tgt_keypts, fused=fused,
@@ -292,6 +316,16 @@ class PointDSC(nn.Module):
     # validated opt-in for future tuning; eval-only (stop_gradient
     # inside — training always takes the XLA path).
     seed_solver: str = "auto"
+    # Sequence-parallel (SP/CP) megapair path: a jax.sharding.Mesh with a
+    # 'data' axis. When set, every NonLocal layer runs ring attention —
+    # correspondence tokens sharded over the mesh, K/V/keypoint shards
+    # rotated with ppermute (parallel/ring_attention.py) — so a
+    # num_node='all' pair whose [N, N] attention exceeds one chip's HBM
+    # spreads across the slice. N must be divisible by the mesh size.
+    # Numerically equal to the single-device paths
+    # (tests/test_ring_model.py); overrides fused_attention for the
+    # encoder while keeping the fused NMS kernel for seed selection.
+    ring_mesh: object = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -320,12 +354,17 @@ class PointDSC(nn.Module):
         # custom_vjp (ops/fused_attention.py), so large-N training never
         # materializes compat either. (The SM similarity matrix M is still
         # dense in train mode — it IS the SM-loss target, ref :231-234.)
-        fused = self.fused_attention
+        ring = self.ring_mesh is not None
+        fused = self.fused_attention and not ring
         # Step 1: spatial-consistency matrix (no_grad in ref :216-221).
         # The fused Pallas path rebuilds it blockwise inside the attention
         # kernel (and the NMS kernel) instead of materializing any [N, N]
-        # tensor here.
-        if fused:
+        # tensor here; the ring path rebuilds it per K/V shard block.
+        if ring:
+            src_dist = None
+            corr_compatibility = None
+            cache_arr = None
+        elif fused:
             src_dist = None
             corr_compatibility = None
             cache_arr = self._build_compat_cache(src_keypts, tgt_keypts, B, N)
@@ -348,7 +387,7 @@ class PointDSC(nn.Module):
         corr_features = NonLocalNet(
             in_dim=self.in_dim, num_layers=self.num_layers,
             num_channels=self.num_channels, sigma_d=self.sigma_d,
-            name="encoder", dtype=self.dtype,
+            name="encoder", dtype=self.dtype, ring_mesh=self.ring_mesh,
         )(corr_pos, corr_compatibility, p_image, q_image, train=train,
           corr_mask=corr_mask, src_keypts=src_keypts, tgt_keypts=tgt_keypts,
           fused=fused, compat_cache=cache_arr)
@@ -383,7 +422,9 @@ class PointDSC(nn.Module):
         num_seeds = max(int(N * self.ratio), 1)
         if testing:
             conf_sg = jax.lax.stop_gradient(confidence)
-            if fused:
+            if fused or ring:
+                # ring has no dense src_dist either; the fused NMS kernel
+                # (keypoints + confidence only) serves both paths
                 from gmf_tpu.ops.fused_nms import pick_seeds_nms_fused
 
                 seeds = pick_seeds_nms_fused(

@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--n-points", type=int, default=None,
                     help="synthetic pair size (default: 300 tiny / 2000)")
+    ap.add_argument("--overlap", type=float, default=0.7,
+                    help="synthetic pair overlap fraction (lower = harder "
+                         "fixture: fewer correct NN matches, untrained "
+                         "registration fails)")
     ap.add_argument("--cloud", choices=["uniform", "surface"],
                     default="uniform",
                     help="synthetic pair geometry: 'surface' (heightfield) "
@@ -112,6 +116,7 @@ def main():
     n_points = args.n_points or (300 if args.tiny else 2000)
     proto = make_dgr_pair(rng, n_points=n_points,
                           voxel_size=cfg.voxel_size, image_hw=image_hw,
+                          overlap=args.overlap,
                           surface=args.cloud == "surface")
     pyr3 = build_pyramid(proto["coords0"], 4,
                          conv1_kernel_size=cfg.feat_conv1_kernel_size
@@ -150,6 +155,7 @@ def main():
                 yield [make_dgr_pair(rng, n_points=n_points,
                                      voxel_size=cfg.voxel_size,
                                      image_hw=image_hw,
+                                     overlap=args.overlap,
                                      surface=args.cloud == "surface")
                        for _ in range(cfg.batch_size)]
     else:

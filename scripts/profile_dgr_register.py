@@ -27,8 +27,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pts", type=int, default=40000)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--cloud", choices=["uniform", "surface"],
+    ap.add_argument("--cloud", choices=["uniform", "surface", "lidar"],
                     default="uniform")
+    ap.add_argument("--kitti", action="store_true",
+                    help="KITTI preset: voxel 0.3, FCGF conv1=5, "
+                         "120k-point lidar cloud (config_Kitti.py:49,97)")
     ap.add_argument("--matches", choices=["fcgf", "oracle"],
                     default="fcgf",
                     help="oracle: keep the FCGF + 1-NN dispatches (their "
@@ -68,16 +71,44 @@ def main():
     import jax.numpy as _jnp
 
     dt = _jnp.bfloat16 if args.bf16 else _jnp.float32
-    cfg = DGRConfig(device_kernel_maps=None if not args.cpu else False,
+    if args.kitti:
+        args.cloud = "lidar"
+        if args.pts == 40000:
+            args.pts = 120000
+    conv1 = 5 if args.kitti else 7
+    cfg = DGRConfig(voxel_size=0.3 if args.kitti else 0.05,
+                    device_kernel_maps=None if not args.cpu else False,
                     net_dtype="bfloat16" if args.bf16 else "float32",
                     compact_inlier_conv=(None if args.compact is None
                                          else args.compact == "on"))
-    fcgf = FCGFNet(conv1_kernel_size=7, dtype=dt)
+    fcgf = FCGFNet(conv1_kernel_size=conv1, dtype=dt)
     inlier = GMFInlierNet(dtype=dt)
     H, W = cfg.image_hw
 
     rng = np.random.RandomState(0)
-    if args.cloud == "surface":
+    if args.cloud == "lidar":
+        # KITTI-like sweep (bench_dgr_e2e.py --cloud lidar): annulus
+        # footprint, ~1/r density, flat ground + vertical clutter
+        r_max = 50.0
+        n_grd = int(args.pts * 0.7)
+        r = 2.0 + (r_max - 2.0) * rng.rand(n_grd)
+        th = 2 * np.pi * rng.rand(n_grd)
+        grd = np.stack([r * np.cos(th), r * np.sin(th),
+                        0.05 * rng.randn(n_grd)], axis=1)
+        n_cl = args.pts - n_grd
+        n_clusters = 40
+        centers = np.stack([
+            (2.0 + (r_max - 5.0) * rng.rand(n_clusters)) *
+            np.cos(2 * np.pi * rng.rand(n_clusters)),
+            (2.0 + (r_max - 5.0) * rng.rand(n_clusters)) *
+            np.sin(2 * np.pi * rng.rand(n_clusters)),
+            np.zeros(n_clusters)], axis=1)
+        ci = rng.randint(0, n_clusters, n_cl)
+        cl = centers[ci] + np.stack([
+            0.8 * rng.randn(n_cl), 0.8 * rng.randn(n_cl),
+            4.0 * rng.rand(n_cl)], axis=1)
+        xyz0 = np.concatenate([grd, cl], axis=0).astype(np.float32)
+    elif args.cloud == "surface":
         side = (args.pts * 0.9) ** 0.5 * cfg.voxel_size
         xy = rng.rand(args.pts, 2) * side
         z = (0.3 * side * (np.sin(xy[:, 0] * 4 / side)
@@ -96,7 +127,7 @@ def main():
     q_img = np.zeros((1, H, W, 3), np.float32)
 
     c3 = np.unique(rng.randint(0, 10, (200, 3)).astype(np.int32), axis=0)
-    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=7,
+    a3 = pyramid_to_arrays(build_pyramid(c3, 4, conv1_kernel_size=conv1,
                                          granule=256))
     fv = jax.jit(fcgf.init)(jax.random.PRNGKey(0),
                             jnp.ones((a3["mask_0"].shape[0], 1)), a3)
