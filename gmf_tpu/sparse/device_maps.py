@@ -950,7 +950,7 @@ def build_pyramid_arrays_device(
     # for tables <= 64 MB (~240 Mdesc/s = up to 32 Gelem/s), so the
     # coarse-level multiplicity (50-80 at surface scans) stops being a
     # round multiplier entirely.
-    SRCROWS_MULT_MENU = (16, 32, 64, 128)
+    SRCROWS_MULT_MENU = (4, 8, 16, 32, 64, 128)
     SRCROWS_ENTRY_BUDGET = 1 << 24
 
     def _bound3(in_3, out_3, slack):
@@ -971,6 +971,14 @@ def build_pyramid_arrays_device(
             return None
         mult, rank = src_info[l_in]
         row_mode = mult > SRCDENSE_MULT_MENU[-1]
+        # experiment knob: force row-mode at lower multiplicity (row
+        # gathers measured ~2x cheaper per descriptor than scalar
+        # rounds; the default menu split is tuned at 3DMatch scale)
+        import os as _os2
+
+        _force = _os2.environ.get("GMF_SRCDENSE_ROWMODE_MIN")
+        if _force is not None and mult >= int(_force):
+            row_mode = True
         if row_mode:
             if mult > SRCROWS_MULT_MENU[-1]:
                 return None
