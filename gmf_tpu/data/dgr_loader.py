@@ -98,13 +98,28 @@ def make_dgr_pair(rng: np.random.RandomState, n_points: int = 500,
                   voxel_size: float = 0.05, overlap: float = 0.7,
                   image_hw=(16, 16), matching_radius_mult: float = 2.0,
                   random_scale: bool = False,
-                  surface: bool = False) -> Dict[str, np.ndarray]:
+                  surface: bool = False,
+                  outlier_bias: float = 0.0) -> Dict[str, np.ndarray]:
     """Synthetic DGR training pair (same dict contract as the loaders).
 
     surface=True samples a bumpy heightfield instead of a uniform box —
     the geometry FPFH needs for meaningful normals/histograms (volumetric
     random points give ~3% descriptor hit ratio, a surface ~55%; use it
     with descriptor='fpfh' to close the synthetic train->eval loop).
+
+    outlier_bias > 0 displaces cloud 1's partner-less points (those whose
+    generating base point is absent from cloud 0) by a CONSTANT offset of
+    that length: their matches are systematically biased, so an untrained
+    inlier net's near-uniform weighting drags the Procrustes translation
+    off by ~bias * outlier_fraction and registration FAILS (measured:
+    33% success at overlap=0.7 bias=0.6, 0% at overlap=0.5). CAVEAT
+    (measured, r4): because the shift is uniform, the biased cluster is
+    LOCALLY rigid-consistent — a translation-invariant sparse conv
+    cannot separate it by local incoherence, so the short-budget
+    synthetic training does NOT learn to reject it (recall stayed ~0.01).
+    Use it to stress the safeguard/refinement machinery; for a
+    train-discriminating fixture use low ``overlap`` (locally incoherent
+    random wrong matches — the signal DGR's inlier conv is built for).
     """
     if surface:
         xy = rng.rand(n_points, 2).astype(np.float32)
@@ -122,6 +137,11 @@ def make_dgr_pair(rng: np.random.RandomState, n_points: int = 500,
     T = np.eye(4, dtype=np.float32)
     T[:3, :3], T[:3, 3] = R, t
     xyz1 = base[keep1] @ R.T + t + 0.002 * rng.randn(n_keep, 3).astype(np.float32)
+    if outlier_bias > 0.0:
+        lonely = ~np.isin(keep1, keep0)
+        direction = np.array([0.8, 0.55, 0.25], np.float32)
+        direction /= np.linalg.norm(direction)
+        xyz1[lonely] += (outlier_bias * direction).astype(np.float32)
 
     coords0, sel0 = sparse_quantize(xyz0, voxel_size)
     coords1, sel1 = sparse_quantize(xyz1, voxel_size)

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--n-points", type=int, default=None,
                     help="synthetic pair size (default: 300 tiny / 2000)")
+    ap.add_argument("--outlier-bias", type=float, default=0.0,
+                    help="displace cloud 1's partner-less points by this "
+                         "constant offset (discriminating fixture: "
+                         "untrained registration fails, the bias cluster "
+                         "is learnable; data/dgr_loader.make_dgr_pair)")
     ap.add_argument("--overlap", type=float, default=0.7,
                     help="synthetic pair overlap fraction (lower = harder "
                          "fixture: fewer correct NN matches, untrained "
@@ -117,6 +122,7 @@ def main():
     proto = make_dgr_pair(rng, n_points=n_points,
                           voxel_size=cfg.voxel_size, image_hw=image_hw,
                           overlap=args.overlap,
+                          outlier_bias=args.outlier_bias,
                           surface=args.cloud == "surface")
     pyr3 = build_pyramid(proto["coords0"], 4,
                          conv1_kernel_size=cfg.feat_conv1_kernel_size
@@ -156,6 +162,7 @@ def main():
                                      voxel_size=cfg.voxel_size,
                                      image_hw=image_hw,
                                      overlap=args.overlap,
+                                     outlier_bias=args.outlier_bias,
                                      surface=args.cloud == "surface")
                        for _ in range(cfg.batch_size)]
     else:
