@@ -109,6 +109,7 @@ def test_dp_step_sharded_equals_single_device():
     np.testing.assert_allclose(metrics["loss"], np.mean(losses), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_step_pads_partial_groups():
     """5 pairs on an 8-device mesh: the group is padded with zero-weight
     repeats; the update and metrics average over the REAL pairs only."""
@@ -141,6 +142,7 @@ def test_dp_step_pads_partial_groups():
     np.testing.assert_allclose(metrics["loss"], np.mean(losses), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_step_full_loss_metrics_match():
     """Full reference loss (Procrustes + BCE): the DP step's averaged
     metrics equal the serial per-pair metrics' mean (the gradients are

@@ -32,7 +32,9 @@ def _problem(rng, N=256):
             jnp.asarray(img), jnp.asarray(img))
 
 
-@pytest.mark.parametrize("testing", [True, False])
+@pytest.mark.parametrize(
+    "testing",
+    [True, pytest.param(False, marks=pytest.mark.slow)])
 def test_ring_model_equals_dense(rng, testing):
     from gmf_tpu.models import PointDSC
 
@@ -60,6 +62,7 @@ def test_ring_model_equals_dense(rng, testing):
             np.asarray(out_d["seed_fitness"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_model_masked_padding(rng):
     """Padded megapair rows must not change the ring result."""
     from gmf_tpu.models import PointDSC
