@@ -60,7 +60,17 @@ def main():
                     help="skip evaluation; merge OUT/dgr_stats_shard*.npy "
                          "written by sharded runs and print the global "
                          "summary")
+    ap.add_argument("--srcdense-rowmode-min", type=int, default=None,
+                    metavar="MULT",
+                    help="force the row-gather srcdense tier for 6-D "
+                         "pyramid probes at src multiplicity >= MULT "
+                         "(KITTI-oracle regime: -11%% register() e2e at "
+                         "MULT=2; random-match regime regresses — tune "
+                         "per deployment; sets GMF_SRCDENSE_ROWMODE_MIN)")
     args = ap.parse_args()
+    if args.srcdense_rowmode_min is not None:
+        os.environ["GMF_SRCDENSE_ROWMODE_MIN"] = str(
+            args.srcdense_rowmode_min)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("evaldgr")
