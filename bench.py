@@ -110,7 +110,8 @@ def main():
     ap.add_argument("--seed-solver", default="auto",
                     choices=("auto", "xla", "fused"),
                     help="seed spectral-solver backend override (see "
-                         "PointDSC.seed_solver; auto = fused on TPU)")
+                         "PointDSC.seed_solver; auto = xla — the fused "
+                         "kernel measured slower in-model, opt-in only)")
     ap.add_argument("--compat-cache", default="auto",
                     choices=("auto", "off", "f32", "bf16", "int8"),
                     help="compat-cache mode override (see "

@@ -77,12 +77,39 @@ def main():
 
     if args.merge_shards:
         import glob
+        import re
 
         files = sorted(glob.glob(os.path.join(args.out,
                                               "dgr_stats_shard*.npy")))
         if not files:
             raise SystemExit(f"no dgr_stats_shard*.npy under {args.out}")
-        stats = np.concatenate([np.load(f) for f in files], axis=0)
+        # require one consistent NofM set — stale shards from a previous
+        # run with a different --shard-count would silently merge
+        # duplicated/mixed pairs otherwise
+        parsed = {}
+        for f in files:
+            m = re.search(r"shard(\d+)of(\d+)\.npy$", os.path.basename(f))
+            if m is None:
+                raise SystemExit(
+                    f"unparseable shard filename {f} (expected "
+                    "dgr_stats_shard<N>of<M>.npy); remove stale files")
+            parsed[f] = (int(m.group(1)), int(m.group(2)))
+        counts = {m for _, m in parsed.values()}
+        if len(counts) != 1:
+            raise SystemExit(
+                f"mixed shard counts {sorted(counts)} under {args.out}; "
+                "remove stale shard files from previous runs")
+        (total_shards,) = counts
+        indices = sorted(n for n, _ in parsed.values())
+        if indices != list(range(total_shards)):
+            raise SystemExit(
+                f"expected shards 0..{total_shards - 1}, found {indices} "
+                f"under {args.out}")
+        loaded = [np.load(f) for f in files]
+        loaded = [s for s in loaded if len(s)]  # shard_count > pair count
+        if not loaded:
+            raise SystemExit(f"all shards under {args.out} are empty")
+        stats = np.concatenate(loaded, axis=0)
         ok = stats[stats[:, 0] == 1]
         log.info(
             f"[merged {len(files)} shards] All {len(stats)} pairs, "

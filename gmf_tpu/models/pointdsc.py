@@ -600,6 +600,11 @@ class PointDSC(nn.Module):
             # measured: the fused kernel loses to XLA at reference shapes
             # (see the seed_solver attribute docstring) — auto stays XLA
             ssmode = "xla"
+        if ssmode == "fused" and not testing:
+            # the fused kernel is eval-only (stop_gradient inside would
+            # silently zero the seed spectral weights' gradient) — train
+            # mode always takes the differentiable XLA graph below
+            ssmode = "xla"
         if ssmode == "fused":
             # Pallas rows-compact kernel (ops/fused_seed_solver.py):
             # feat_M / spatial_M / power iteration fused in VMEM, no

@@ -298,11 +298,18 @@ class WeightedProcrustesTrainer:
                     params, bstats, p["feats"], p["pyramid"], p["p_img"],
                     p["q_img"], p["src"], p["tgt"], p["mask"],
                     p["corr_ok"], p["T_gt"], p["inv"])
-                # non-finite-loss skip, in-graph (ref :259-262)
+                # non-finite-loss skip, in-graph (ref :259-262). A
+                # skipped pair's contribution must be an exact zero, not
+                # NaN*0=NaN: one divergent pair would otherwise poison
+                # the psum and drop the whole group's update (the serial
+                # loop drops only that pair). NaNs from pairs with a
+                # FINITE loss still flow through, preserving the serial
+                # whole-update NaN-grad skip below.
                 wi = w * jnp.isfinite(metrics["loss"]).astype(jnp.float32)
-                return (jax.tree.map(lambda g: g * wi, grads),
-                        jax.tree.map(lambda m: m * wi, metrics),
-                        jax.tree.map(lambda b: b * wi, new_bstats), wi)
+                zmul = lambda x: jnp.where(wi > 0, x * wi, 0.0)  # noqa
+                return (jax.tree.map(zmul, grads),
+                        jax.tree.map(zmul, metrics),
+                        jax.tree.map(zmul, new_bstats), wi)
 
             grads_k, metrics_k, bstats_k, w_k = jax.vmap(one)(batch, wvec)
             psum = lambda x: jax.lax.psum(jnp.sum(x, 0), "data")  # noqa
@@ -324,8 +331,15 @@ class WeightedProcrustesTrainer:
                                       new_params, params)
             new_opt = jax.tree.map(lambda a, b: jnp.where(keep, a, b),
                                    new_opt, opt_state)
+            # commit batch stats only when they are themselves finite —
+            # a kept pair with divergent activations must not corrupt
+            # inlier_bstats permanently
+            bstats_ok = jnp.all(jnp.asarray([
+                jnp.all(jnp.isfinite(b))
+                for b in jax.tree.leaves(new_bstats)
+            ]))
             new_bstats = jax.tree.map(lambda a, b: jnp.where(
-                total > 1e-8, a, b), new_bstats, bstats)
+                (total > 1e-8) & bstats_ok, a, b), new_bstats, bstats)
             metrics = dict(metrics, skipped=1.0 - keep.astype(jnp.float32))
             return new_params, new_opt, new_bstats, metrics
 

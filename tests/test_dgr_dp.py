@@ -142,6 +142,46 @@ def test_dp_step_pads_partial_groups():
     np.testing.assert_allclose(metrics["loss"], np.mean(losses), rtol=1e-5)
 
 
+def test_dp_step_nan_pair_is_skipped_not_poisoning():
+    """ADVICE r4 (medium): a pair whose loss is non-finite must
+    contribute an exact ZERO to the psum — not NaN*0=NaN, which would
+    drop the whole group's update, NaN the reported metrics, and commit
+    corrupted batch stats. The group mean must cover the finite pairs
+    only (serial ref :259-262 semantics)."""
+    pairs = _pairs(4)
+    # full loss: a NaN T_gt drives the Procrustes rotation error — and
+    # therefore this pair's loss and gradients — non-finite
+    pairs[1]["T_gt"] = np.full((4, 4), np.nan, np.float32)
+
+    t_dp = _make_trainer()
+    params_before = jax.tree.map(np.asarray, t_dp.inlier_params)
+    bstats_before = jax.tree.map(np.asarray, t_dp.inlier_bstats)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    metrics = t_dp.train_step_dp(pairs, mesh)
+
+    assert metrics["skipped"] == 0.0
+    assert np.isfinite(metrics["loss"])
+
+    # group mean over the three FINITE pairs only
+    t_ser = _make_trainer()
+    _, losses = _serial_expected(t_ser, [pairs[0], pairs[2], pairs[3]])
+    np.testing.assert_allclose(metrics["loss"], np.mean(losses),
+                               rtol=1e-4)
+
+    # the update applied (params moved) and everything stayed finite
+    leaves_after = jax.tree.leaves(
+        jax.tree.map(np.asarray, t_dp.inlier_params))
+    assert any(not np.allclose(a, b) for a, b in
+               zip(jax.tree.leaves(params_before), leaves_after))
+    assert all(np.isfinite(l).all() for l in leaves_after)
+    bstats_after = jax.tree.leaves(
+        jax.tree.map(np.asarray, t_dp.inlier_bstats))
+    assert all(np.isfinite(b).all() for b in bstats_after)
+    # and the stats actually updated (three finite pairs contributed)
+    assert any(not np.allclose(a, b) for a, b in
+               zip(jax.tree.leaves(bstats_before), bstats_after))
+
+
 @pytest.mark.slow
 def test_dp_step_full_loss_metrics_match():
     """Full reference loss (Procrustes + BCE): the DP step's averaged

@@ -168,6 +168,46 @@ def test_dgr_cli_sharded(dgr_fixture_tree, monkeypatch, caplog):
         np.sort(merged, axis=0), np.sort(serial, axis=0), rtol=1e-6)
 
 
+def test_dgr_merge_shards_rejects_stale_mixed_counts(tmp_path,
+                                                     monkeypatch):
+    """ADVICE r4: stale shard files from a previous run with a
+    different --shard-count must not silently merge; incomplete shard
+    sets must be rejected too."""
+    from gmf_tpu.eval import test_dgr
+
+    out = str(tmp_path)
+    row = np.ones((1, 12), np.float32)
+    # --merge-shards skips evaluation before the checkpoints are read;
+    # the required args just need to parse
+    base = ["test_dgr", "--root", out, "--fcgf-checkpoint", "x",
+            "--inlier-checkpoint", "x", "--out", out, "--merge-shards"]
+
+    # mixed shard counts (0of2 left over next to a fresh 0of4..3of4)
+    for name in ("dgr_stats_shard0of2.npy", "dgr_stats_shard0of4.npy",
+                 "dgr_stats_shard1of4.npy", "dgr_stats_shard2of4.npy",
+                 "dgr_stats_shard3of4.npy"):
+        np.save(os.path.join(out, name), row)
+    monkeypatch.setattr(sys, "argv", base)
+    with pytest.raises(SystemExit, match="mixed shard counts"):
+        test_dgr.main()
+    os.remove(os.path.join(out, "dgr_stats_shard0of2.npy"))
+
+    # incomplete set: drop shard 2 of 4
+    os.remove(os.path.join(out, "dgr_stats_shard2of4.npy"))
+    monkeypatch.setattr(sys, "argv", base)
+    with pytest.raises(SystemExit, match="expected shards"):
+        test_dgr.main()
+
+    # consistent complete set merges (incl. an empty shard — more
+    # shards than pairs)
+    np.save(os.path.join(out, "dgr_stats_shard2of4.npy"),
+            np.zeros((0, 12), np.float32))
+    monkeypatch.setattr(sys, "argv", base)
+    test_dgr.main()
+    merged = np.load(os.path.join(out, "dgr_stats.npy"))
+    assert merged.shape == (3, 12)
+
+
 def test_dgr_cli_kitti(tmp_path, rng, monkeypatch, caplog):
     """--dataset kitti: raw velodyne pairs through register()."""
     import matplotlib.image as mpimg
