@@ -52,6 +52,17 @@ def main():
                     help="prefetch pairs with N threads (overlaps host "
                          "data prep with device dispatch; the reference "
                          "uses a 16-worker DataLoader)")
+    ap.add_argument("--ring", type=int, default=0, metavar="N",
+                    help="run every NonLocal layer as RING attention "
+                         "over an N-device 'data' mesh (SP/CP megapair "
+                         "path, SURVEY §2.6): correspondence tokens are "
+                         "sharded over the mesh and K/V/keypoint shards "
+                         "rotate with ppermute, so a num_node='all' "
+                         "pair whose [N, N] attention exceeds one "
+                         "chip's HBM spreads across the slice. Buckets "
+                         "are restricted to multiples of N (and "
+                         "extended past 12000 for num_node='all'). "
+                         "Mutually exclusive with --mesh.")
     ap.add_argument("--device-match", action="store_true",
                     help="build correspondences on device inside the "
                          "registration dispatch")
@@ -92,17 +103,41 @@ def main():
         from gmf_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh)
+    num_node = args.num_node if args.num_node == "all" else int(args.num_node)
+    buckets = None
+    if args.ring:
+        if args.mesh:
+            raise SystemExit("--ring (SP over tokens) and --mesh (DP over "
+                             "pairs) are mutually exclusive")
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.ring:
+            raise SystemExit(f"--ring {args.ring} needs {args.ring} "
+                             f"devices, have {len(devs)}")
+        ring_mesh = Mesh(np.array(devs[: args.ring]), ("data",))
+        model = model.clone(ring_mesh=ring_mesh)
+        # ring shards the token axis: buckets must divide by the ring
+        # size, and the megapair config gets buckets past 12000 so
+        # num_node='all' pairs are not subsampled away
+        from gmf_tpu.data.collate import BUCKETS
+
+        buckets = [b for b in BUCKETS if b % args.ring == 0]
+        if num_node == "all":
+            buckets += [b for b in (16384, 32768, 65536, 131072)
+                        if b % args.ring == 0]
+        buckets = tuple(sorted(buckets))
     frag_cache = None
     if args.device_match and args.frag_cache_mb:
         from gmf_tpu.eval.registration import DeviceFragmentCache
 
         frag_cache = DeviceFragmentCache(args.frag_cache_mb << 20)
+    reg_kw = {} if buckets is None else {"buckets": buckets}
     registrar = PointDSCRegistrar(model, variables, mesh=mesh,
-                                  frag_cache=frag_cache)
+                                  frag_cache=frag_cache, **reg_kw)
     from gmf_tpu.eval.solvers import make_register_fn
 
     register_fn = make_register_fn(registrar)
-    num_node = args.num_node if args.num_node == "all" else int(args.num_node)
     ds = ThreeDLoMatchTest(root=args.root, pair_file=args.pair_file,
                            num_node=num_node, descriptor=args.descriptor,
                            device_match=args.device_match)

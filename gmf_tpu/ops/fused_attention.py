@@ -55,6 +55,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 _LSE_PAD = 1e9  # lse of padded/invalid query rows in bwd => p == 0
+_LOG2E = 1.4426950408889634  # log2(e)
+
+# exp2 softmax economy (r5): the kernels fold `scale * log2(e)` into the
+# [BQ, D] q tile (cost N^2 * D / BK — negligible next to the [BQ, BK]
+# elementwise stream) so the per-element `qk * scale` multiply vanishes
+# and every exp() becomes a native exp2() with no log2(e) pre-multiply.
+# softmax is invariant under the base change (max/sum/div all happen in
+# base-2 space); the stored lse is base-2 (lse2 = m2 + log2(l)) and the
+# backward recomputes p = exp2(s2 - lse2). Gradients w.r.t. the
+# ORIGINAL q/k keep the plain `* scale` factor (d s2/d q = compat kᵀ ·
+# scale·log2e and the ln2 from d exp2 cancel — see _bwd_tile*).
 
 # int8 compat-cache quantization: compat in [0, 1] maps affinely onto
 # [-127, 127] (q = round(254*c - 127)), max abs dequant error 1/508 —
@@ -64,10 +75,13 @@ _COMPAT_I8_BIAS = 127.0
 
 
 def _load_compat(c_ref):
-    """Read a compat tile as f32, dequantizing int8 caches in-register."""
+    """Read a compat tile as f32, dequantizing int8 caches in-register.
+
+    The affine dequant is written in fma form: c/254 + 0.5 is EXACTLY
+    (c + 127)/254 (127/254 == 0.5 in binary), one fused op instead of
+    add-then-mul on the [BQ, BK] stream."""
     if c_ref.dtype == jnp.int8:
-        return (c_ref[:].astype(jnp.float32) + _COMPAT_I8_BIAS) * (
-            1.0 / _COMPAT_I8_SCALE)
+        return c_ref[:].astype(jnp.float32) * (1.0 / _COMPAT_I8_SCALE) + 0.5
     return c_ref[:].astype(jnp.float32)
 
 
@@ -102,25 +116,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref,
 
     # QK^T in bf16 with f32 accumulation on TPU — matches the dense XLA
     # path's default-precision matmuls there; f32 in interpret/CPU mode
-    # (distances below always stay f32).
-    q = q_ref[:].astype(mm_dtype)      # [BQ, D]
+    # (distances below always stay f32). scale*log2e folds into the
+    # small [BQ, D] q tile so the [BQ, BK] stream runs base-2 softmax
+    # with no per-element scale multiply (module-constant note).
+    q = (q_ref[:].astype(jnp.float32) * (scale * _LOG2E)).astype(mm_dtype)
     k = k_ref[:].astype(mm_dtype)      # [BK, D]
     qk = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                          # [BQ, BK]
+    )                                  # [BQ, BK] = log2e * scale * q.k
 
     compat = _compat_block(sq_ref[:], sk_ref[:], tq_ref[:], tk_ref[:],
                            sigma_sq)
     s = compat * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)  # mask: [1, BK] broadcasts
 
-    # online softmax
+    # online softmax (base 2)
     m_prev = m_scr[:]
     l_prev = l_scr[:]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_next
     l_scr[:] = l_next
@@ -133,7 +149,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, tq_ref, tk_ref,
     def _store():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[:] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse = m_scr[:] + jnp.log(l)              # [BQ, 1]
+        lse = m_scr[:] + jnp.log2(l)             # [BQ, 1] (base-2 lse)
         lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
@@ -143,17 +159,20 @@ def _bwd_tile(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref, sq_ref,
 
     Returns (p_T [BK, BQ] f32, dlogits_T [BK, BQ] f32).
     """
-    q = q_ref[:].astype(mm_dtype)
+    # recompute in base-2 space (s2 = log2e*scale*compat*qk, lse is
+    # base-2); the gradient w.r.t. the ORIGINAL q/k keeps the plain
+    # `* scale` factor — ln2 from d/dx exp2 cancels the folded log2e
+    qs = (q_ref[:].astype(jnp.float32) * (scale * _LOG2E)).astype(mm_dtype)
     k = k_ref[:].astype(mm_dtype)
     qk_t = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                    # [BK, BQ]
+        k, qs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                            # [BK, BQ]
     compat_t = _compat_block(sk_ref[:], sq_ref[:], tk_ref[:], tq_ref[:],
                              sigma_sq)
     s_t = compat_t * qk_t
     mk = jnp.max(maskc_ref[:], axis=1, keepdims=True)   # [BK, 1]
     s_t = jnp.where(mk > 0, s_t, NEG_INF)
-    p_t = jnp.exp(s_t - lse_ref[:])              # lse [1, BQ] broadcasts
+    p_t = jnp.exp2(s_t - lse_ref[:])             # lse [1, BQ] broadcasts
     dp_t = jax.lax.dot_general(
         v_ref[:].astype(mm_dtype), do_ref[:].astype(mm_dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -341,6 +360,18 @@ def _flash_bwd(sigma_sq, scale, bq, bk, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _interpret_blocks():
+    """Interpret-mode (CPU) block sizes. The (64, 128) default keeps the
+    padded size near N for small-N tests; large-N CPU parity runs (e.g.
+    the N=12000 KITTI-scale production-stack pin) override via
+    GMF_FLASH_INTERPRET_BLOCK_Q/K — at N=12000 the default grid is
+    ~18k steps/layer, infeasible to trace, while (512, 1024) is ~288."""
+    import os
+
+    return (int(os.environ.get("GMF_FLASH_INTERPRET_BLOCK_Q", 64)),
+            int(os.environ.get("GMF_FLASH_INTERPRET_BLOCK_K", 128)))
+
+
 def _default_blocks():
     """Block sizes, overridable for tuning (GMF_FLASH_BLOCK_Q/K).
 
@@ -385,7 +416,7 @@ def padded_len(N: int, block_q: int = None, block_k: int = None,
     compat cache is [Np, Np]. Mirrors the block resolution of
     compat_flash_attention/build_compat_cache."""
     if interpret:
-        dbq, dbk = 64, 128
+        dbq, dbk = _interpret_blocks()
     else:
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
@@ -421,8 +452,9 @@ def compat_flash_attention(q, k, v, src_keypts, tgt_keypts, mask=None,
     if interpret:
         # no hardware tiling in interpret mode: small blocks keep the
         # padded size near N (CPU tests) while still exercising the
-        # multi-block online-softmax path
-        dbq, dbk = 64, 128
+        # multi-block online-softmax path (env-overridable for large-N
+        # CPU parity runs — _interpret_blocks)
+        dbq, dbk = _interpret_blocks()
     else:
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
@@ -522,12 +554,19 @@ def _compat_pre_kernel(sq_ref, skT_ref, tq_ref, tkT_ref, o_ref, *,
         td = tq_ref[:, d:d + 1] - tkT_ref[d:d + 1, :]
         ds2 = sd * sd if ds2 is None else ds2 + sd * sd
         dt2 = td * td if dt2 is None else dt2 + td * td
-    dd = jnp.sqrt(ds2) - jnp.sqrt(dt2)
-    c = jnp.maximum(1.0 - dd * dd / sigma_sq, 0.0)
     if o_ref.dtype == jnp.int8:
+        # one-sqrt identity: (√a - √b)² = a + b - 2√(ab). The build is
+        # VPU-sqrt-bound; this halves the sqrts. The cancellation error
+        # near ds≈dt (~1e-5·(ds²+dt²) in f32) sits well below the int8
+        # quantization step 1/254 — int8-safe ONLY, the f32/bf16 cache
+        # keeps the two-sqrt diff form the dense reference uses.
+        dd2 = jnp.maximum(ds2 + dt2 - 2.0 * jnp.sqrt(ds2 * dt2), 0.0)
+        c = jnp.maximum(1.0 - dd2 / sigma_sq, 0.0)
         o_ref[:] = jnp.round(
             c * _COMPAT_I8_SCALE - _COMPAT_I8_BIAS).astype(jnp.int8)
     else:
+        dd = jnp.sqrt(ds2) - jnp.sqrt(dt2)
+        c = jnp.maximum(1.0 - dd * dd / sigma_sq, 0.0)
         o_ref[:] = c.astype(o_ref.dtype)
 
 
@@ -549,7 +588,7 @@ def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
     worst-case error as bf16 near compat=1.0 (max abs 1/508).
     """
     if interpret:
-        dbq, dbk = 64, 128
+        dbq, dbk = _interpret_blocks()
     else:
         dbq, dbk = _default_blocks()
     bq = block_q or dbq
@@ -567,8 +606,14 @@ def build_compat_cache(src_keypts, tgt_keypts, sigma_d: float = 0.10,
 def _build_compat_cache_jit(src_keypts, tgt_keypts, *, sigma_d, dtype,
                             block_q, block_k, interpret):
     N = src_keypts.shape[0]
-    bq, bk = block_q, block_k
-    Np = _aligned_len(N, bq, bk)
+    Np = _aligned_len(N, block_q, block_k)
+    # the build grid is independent of the flash blocks — the cache is
+    # a plain [Np, Np] HBM array and only Np must agree. Cap the build
+    # tiles at (512, 1024): larger flash blocks (e.g. 1024x1024) OOM
+    # scoped VMEM in THIS kernel (f32 distance temporaries), while the
+    # flash kernel itself still streams them fine.
+    bq = min(block_q, 512) if (block_q & (block_q - 1)) == 0 else block_q
+    bk = min(block_k, 1024) if (block_k & (block_k - 1)) == 0 else block_k
     sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     tp = jnp.pad(tgt_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     spT = jnp.transpose(sp[:, :8])  # [8, Np]
@@ -602,11 +647,13 @@ def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[:].astype(mm_dtype)
+    # base-2 online softmax with scale*log2e folded into the [BQ, D] q
+    # tile — no per-element scale multiply on the [BQ, BK] stream
+    q = (q_ref[:].astype(jnp.float32) * (scale * _LOG2E)).astype(mm_dtype)
     k = k_ref[:].astype(mm_dtype)
     qk = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     s = _load_compat(c_ref) * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
 
@@ -614,8 +661,8 @@ def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
     l_prev = l_scr[:]
     m_curr = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_next
     l_scr[:] = l_next
@@ -627,7 +674,7 @@ def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
     def _store():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[:] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse = m_scr[:] + jnp.log(l)
+        lse = m_scr[:] + jnp.log2(l)             # base-2 lse
         lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
@@ -668,15 +715,17 @@ def _bwd_tile_cached(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
                      c_ref, mask_ref, scale, mm_dtype):
     """Backward tile, query in SUBLANES (no transposes needed with the
     compat tile resident). Returns (p [BQ, BK], dlogits [BQ, BK])."""
-    q = q_ref[:].astype(mm_dtype)
+    # base-2 recompute (module-constant note): s2 from a scaled q copy,
+    # gradients keep plain `* scale` w.r.t. the original q/k
+    qs = (q_ref[:].astype(jnp.float32) * (scale * _LOG2E)).astype(mm_dtype)
     k = k_ref[:].astype(mm_dtype)
     qk = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     c = _load_compat(c_ref)
     s = c * qk
     s = jnp.where(mask_ref[:] > 0, s, NEG_INF)       # [1, BK] broadcasts
-    p = jnp.exp(s - lse_ref[:, 0:1])                 # lse col [BQ, 1]
+    p = jnp.exp2(s - lse_ref[:, 0:1])                # lse col [BQ, 1]
     dp = jax.lax.dot_general(
         do_ref[:].astype(mm_dtype), v_ref[:].astype(mm_dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)

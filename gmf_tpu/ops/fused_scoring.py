@@ -173,8 +173,15 @@ def seed_hypothesis_counts(trans, src_keypts, tgt_keypts, threshold: float,
     Returns counts [S] f32.
     """
     N = src_keypts.shape[0]
-    bs = block_s or (8 if interpret else 256)
-    bn = block_n or (128 if interpret else 1024)
+    import os
+
+    # interpret (CPU) blocks are env-overridable for large-N CPU parity
+    # runs (the N=12000 KITTI-scale pin): the (8, 128) defaults keep
+    # small-N test grids tight but trace ~14k steps at S=1200/N=12000
+    bs = block_s or (int(os.environ.get("GMF_FUSED_INTERPRET_BLOCK_S", 8))
+                     if interpret else 256)
+    bn = block_n or (int(os.environ.get("GMF_FUSED_INTERPRET_BLOCK_N",
+                                        128)) if interpret else 1024)
     m = (jnp.ones((N,), jnp.float32) if mask is None
          else mask.astype(jnp.float32))
     G = _seed_features(trans)
