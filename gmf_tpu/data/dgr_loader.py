@@ -99,7 +99,8 @@ def make_dgr_pair(rng: np.random.RandomState, n_points: int = 500,
                   image_hw=(16, 16), matching_radius_mult: float = 2.0,
                   random_scale: bool = False,
                   surface: bool = False,
-                  outlier_bias: float = 0.0) -> Dict[str, np.ndarray]:
+                  outlier_bias: float = 0.0,
+                  outlier_scatter: float = 0.0) -> Dict[str, np.ndarray]:
     """Synthetic DGR training pair (same dict contract as the loaders).
 
     surface=True samples a bumpy heightfield instead of a uniform box —
@@ -141,7 +142,20 @@ def make_dgr_pair(rng: np.random.RandomState, n_points: int = 500,
         lonely = ~np.isin(keep1, keep0)
         direction = np.array([0.8, 0.55, 0.25], np.float32)
         direction /= np.linalg.norm(direction)
-        xyz1[lonely] += (outlier_bias * direction).astype(np.float32)
+        disp = (outlier_bias * direction)[None, :]
+        if outlier_scatter > 0.0:
+            # BIASED but SCATTERED displacements (r5 discriminating
+            # fixture): the mean offset biases the uniform-weight
+            # Procrustes translation (zero-mean random outliers cancel
+            # out of the cross-covariance, which is why untrained DGR
+            # succeeds at moderate hit ratios), while the large
+            # per-point scatter keeps the outlier cluster LOCALLY
+            # INCOHERENT — exactly the signal the 6-D inlier conv is
+            # built to detect, fixing the unlearnability caveat of the
+            # constant-offset fixture above (r4 negative result).
+            disp = disp + outlier_scatter * rng.randn(
+                int(lonely.sum()), 3).astype(np.float32)
+        xyz1[lonely] += disp.astype(np.float32)
 
     coords0, sel0 = sparse_quantize(xyz0, voxel_size)
     coords1, sel1 = sparse_quantize(xyz1, voxel_size)

@@ -65,10 +65,16 @@ class NonLocalBlock(nn.Module):
     @nn.compact
     def __call__(self, feat, attention, image_feat, train: bool = False,
                  corr_mask=None, src_keypts=None, tgt_keypts=None,
-                 fused: bool = False, compat_cache=None):
+                 fused: bool = False, compat_cache=None,
+                 build_cache: bool = False):
         """feat [B,N,C], attention [B,N,N] (or None when fused),
         image_feat [B,T,C] -> [B,N,C]. compat_cache: optional [B,Np,Np]
-        precomputed spatial-consistency tiles shared by all layers."""
+        precomputed spatial-consistency tiles shared by all layers.
+        build_cache (eval-only, fused): run the fused build+attend
+        kernel — this layer's attention ALSO emits the int8 compat
+        cache, and the block returns ``(out, cache [B,Np,Np] int8)``
+        instead of ``out`` (ops/fused_attention.py
+        compat_flash_attention_build)."""
         B, N, C = feat.shape
         h = self.num_heads
         dh = C // h
@@ -80,6 +86,8 @@ class NonLocalBlock(nn.Module):
         v = nn.Dense(C, kernel_init=_xavier, name="projection_v",
                      dtype=self.dtype)(feat)
 
+        assert not build_cache or (fused and self.ring_mesh is None), (
+            "build_cache requires the fused path")
         if self.ring_mesh is not None:
             assert h == 1, "ring path supports the reference's 1-head case"
             from gmf_tpu.parallel.ring_attention import ring_compat_attention
@@ -108,7 +116,18 @@ class NonLocalBlock(nn.Module):
             interpret = jax.default_backend() != "tpu"
             mask_b = (jnp.ones((B, N), q.dtype) if corr_mask is None
                       else corr_mask)
-            if compat_cache is not None:
+            built_cache = None
+            if build_cache:
+                from gmf_tpu.ops.fused_attention import (
+                    compat_flash_attention_build)
+
+                message, built_cache = jax.vmap(
+                    lambda qq, kk, vv, ss, tt, mm:
+                    compat_flash_attention_build(
+                        qq, kk, vv, ss, tt, mask=mm, sigma_d=self.sigma_d,
+                        interpret=interpret)
+                )(q, k, v, src_keypts, tgt_keypts, mask_b)
+            elif compat_cache is not None:
                 message = jax.vmap(
                     lambda qq, kk, vv, cc, mm: compat_flash_attention(
                         qq, kk, vv, None, None, mask=mm, compat=cc,
@@ -161,7 +180,10 @@ class NonLocalBlock(nn.Module):
             name="fusion_layer_2", dtype=self.dtype,
         )(image_feat, queries_encoder=feat)
 
-        return message + fused
+        out = message + fused
+        if build_cache:
+            return out, built_cache
+        return out
 
 
 class NonLocalNet(nn.Module):
@@ -202,6 +224,12 @@ class NonLocalNet(nn.Module):
 
         feat = nn.Dense(C, kernel_init=_xavier, name="layer0",
                         dtype=self.dtype)(corr_feat)
+        # compat_cache == "fuse_int8": layer 0 runs the fused build+attend
+        # kernel and EMITS the int8 cache layers 1.. then stream — the
+        # standalone [Np, Np] build pass disappears (eval-only marker,
+        # PointDSC._build_compat_cache)
+        fuse_build = compat_cache == "fuse_int8"
+        cache = None if fuse_build else compat_cache
         for i in range(self.num_layers):
             # PointCN layer: Dense + BN + ReLU (ref :104-109).
             feat = nn.Dense(C, kernel_init=_xavier, name=f"PointCN_layer_{i}",
@@ -210,14 +238,21 @@ class NonLocalNet(nn.Module):
                                 epsilon=1e-5, name=f"PointCN_bn_{i}",
                                 dtype=self.dtype)(feat)
             feat = nn.relu(feat)
-            feat = NonLocalBlock(
+            block = NonLocalBlock(
                 num_channels=C, sigma_d=self.sigma_d,
                 name=f"NonLocal_layer_{i}", dtype=self.dtype,
                 ring_mesh=self.ring_mesh,
-            )(feat, corr_compatibility, image_feat, train=train,
-              corr_mask=corr_mask, src_keypts=src_keypts,
-              tgt_keypts=tgt_keypts, fused=fused,
-              compat_cache=compat_cache)
+            )
+            if fuse_build and i == 0:
+                feat, cache = block(
+                    feat, corr_compatibility, image_feat, train=train,
+                    corr_mask=corr_mask, src_keypts=src_keypts,
+                    tgt_keypts=tgt_keypts, fused=fused, build_cache=True)
+            else:
+                feat = block(
+                    feat, corr_compatibility, image_feat, train=train,
+                    corr_mask=corr_mask, src_keypts=src_keypts,
+                    tgt_keypts=tgt_keypts, fused=fused, compat_cache=cache)
         return feat
 
 
@@ -367,7 +402,8 @@ class PointDSC(nn.Module):
         elif fused:
             src_dist = None
             corr_compatibility = None
-            cache_arr = self._build_compat_cache(src_keypts, tgt_keypts, B, N)
+            cache_arr = self._build_compat_cache(src_keypts, tgt_keypts,
+                                                 B, N, testing=testing)
         else:
             cache_arr = None
             src_dist = jax.lax.stop_gradient(jnp.linalg.norm(
@@ -465,10 +501,18 @@ class PointDSC(nn.Module):
             "confidence": confidence,
         }
 
-    def _build_compat_cache(self, src_keypts, tgt_keypts, B, N):
+    def _build_compat_cache(self, src_keypts, tgt_keypts, B, N,
+                            testing: bool = False):
         """Resolve the compat_cache mode and build the [B, Np, Np] cache
         (or None). "auto" gates on the cache's HBM footprint; interpret
-        (CPU) mode stays on the streaming kernel unless forced."""
+        (CPU) mode stays on the streaming kernel unless forced.
+
+        In eval (testing) with an int8 cache, returns the marker string
+        "fuse_int8" instead of building: NonLocalNet's first layer then
+        runs the fused build+attend kernel, folding the standalone
+        [Np, Np] build pass into layer-1 work (bitwise-identical cache
+        and outputs; ops/fused_attention.py compat_flash_attention_build
+        — eval-only because the build kernel has no custom_vjp)."""
         mode = self.compat_cache
         if mode in ("off", False, None):
             return None
@@ -489,6 +533,8 @@ class PointDSC(nn.Module):
         else:
             cdt = {"f32": jnp.float32, "int8": jnp.int8}.get(mode,
                                                              jnp.bfloat16)
+        if cdt == jnp.int8 and testing:
+            return "fuse_int8"
         cache = jax.vmap(
             lambda s, t: build_compat_cache(
                 s.astype(jnp.float32), t.astype(jnp.float32),

@@ -636,6 +636,162 @@ def _build_compat_cache_jit(src_keypts, tgt_keypts, *, sigma_d, dtype,
     )(sp, spT, tp, tpT)
 
 
+def _fwd_kernel_build(q_ref, k_ref, v_ref, sq_ref, skT_ref, tq_ref,
+                      tkT_ref, mask_ref, o_ref, lse_ref, c_ref, m_scr,
+                      l_scr, acc_scr, *, sigma_sq: float, scale: float,
+                      nk_blocks: int, mm_dtype):
+    """Layer-1 fused build+attend: computes the int8 compat tile with
+    the EXACT _compat_pre_kernel int8 formula (diff-form + one-sqrt +
+    offset quantization), writes it to the cache output, then runs the
+    cached-kernel attention math on the DEQUANTIZED tile — so both the
+    emitted cache and this layer's output are bitwise what
+    build_compat_cache + the cached kernel would produce, without the
+    standalone build's extra pass over the [Np, Np] stream."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    ds2 = dt2 = None
+    for d in range(3):
+        sd = sq_ref[:, d:d + 1] - skT_ref[d:d + 1, :]
+        td = tq_ref[:, d:d + 1] - tkT_ref[d:d + 1, :]
+        ds2 = sd * sd if ds2 is None else ds2 + sd * sd
+        dt2 = td * td if dt2 is None else dt2 + td * td
+    dd2 = jnp.maximum(ds2 + dt2 - 2.0 * jnp.sqrt(ds2 * dt2), 0.0)
+    c = jnp.maximum(1.0 - dd2 / sigma_sq, 0.0)
+    cq = jnp.round(c * _COMPAT_I8_SCALE - _COMPAT_I8_BIAS).astype(jnp.int8)
+    c_ref[:] = cq
+    c_use = cq.astype(jnp.float32) * (1.0 / _COMPAT_I8_SCALE) + 0.5
+
+    q = (q_ref[:].astype(jnp.float32) * (scale * _LOG2E)).astype(mm_dtype)
+    k = k_ref[:].astype(mm_dtype)
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = c_use * qk
+    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_next
+    l_scr[:] = l_next
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p.astype(mm_dtype), v_ref[:].astype(mm_dtype),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk_blocks - 1)
+    def _store():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[:] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[:] = jnp.broadcast_to(m_scr[:] + jnp.log2(l),
+                                      lse_ref.shape)
+
+
+def compat_flash_attention_build(q, k, v, src_keypts, tgt_keypts,
+                                 mask=None, sigma_d: float = 0.10,
+                                 block_q: int = None, block_k: int = None,
+                                 interpret: bool = False):
+    """First-layer fused attention that ALSO emits the int8 compat cache
+    for the remaining layers.
+
+    Returns ``(out [N, D], cache [Np, Np] int8)`` where out equals
+    ``compat_flash_attention(..., compat=cache)`` and cache equals
+    ``build_compat_cache(..., dtype=int8)`` bitwise — the standalone
+    build's separate [Np, Np] pass (~21 ms/batch at the b=64 eval
+    shape) folds into work layer 1 was doing anyway. EVAL-ONLY: no
+    custom_vjp (the caller gates on ``testing``); inputs are
+    stop_gradient'ed defensively.
+    """
+    if interpret:
+        dbq, dbk = _interpret_blocks()
+    else:
+        dbq, dbk = _default_blocks()
+    bq = block_q or dbq
+    bk = block_k or dbk
+    return _compat_flash_attention_build_jit(
+        jax.lax.stop_gradient(q), jax.lax.stop_gradient(k),
+        jax.lax.stop_gradient(v), jax.lax.stop_gradient(src_keypts),
+        jax.lax.stop_gradient(tgt_keypts),
+        None if mask is None else jax.lax.stop_gradient(mask),
+        sigma_d=float(sigma_d), block_q=bq, block_k=bk,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma_d", "block_q", "block_k", "interpret"),
+)
+def _compat_flash_attention_build_jit(q, k, v, src_keypts, tgt_keypts,
+                                      mask=None, *, sigma_d: float,
+                                      block_q: int, block_k: int,
+                                      interpret: bool):
+    N, D = q.shape
+    Np = _aligned_len(N, block_q, block_k)
+    # the BUILD grid tiles are capped like _build_compat_cache_jit's
+    # (the f32 distance temporaries next to the attention tiles exceed
+    # scoped VMEM at larger blocks); the emitted [Np, Np] cache array is
+    # tiling-independent, so the cached layers can keep bigger blocks
+    bq = min(block_q, 512) if (block_q & (block_q - 1)) == 0 else block_q
+    bk = min(block_k, 1024) if (block_k & (block_k - 1)) == 0 else block_k
+
+    def padN(x):
+        return jnp.pad(x, ((0, Np - N),) + ((0, 0),) * (x.ndim - 1))
+
+    qp, kp, vp = padN(q), padN(k), padN(v)
+    sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
+    tp = jnp.pad(tgt_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
+    spT = jnp.transpose(sp[:, :8])
+    tpT = jnp.transpose(tp[:, :8])
+    m = (jnp.ones((N,), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
+    mp = jnp.pad(m, (0, Np - N)).reshape(1, Np)
+
+    nq_blocks, nk_blocks = Np // bq, Np // bk
+    kernel = functools.partial(
+        _fwd_kernel_build, sigma_sq=float(sigma_d) ** 2,
+        scale=1.0 / (D ** 0.5), nk_blocks=nk_blocks,
+        mm_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    out, _, cache = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Np, D), qp.dtype),
+                   jax.ShapeDtypeStruct((Np, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, Np), jnp.int8)),
+        grid=(nq_blocks, nk_blocks),
+        in_specs=[
+            pl.BlockSpec((bq, D), lambda i, j: (i, 0)),    # q
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # k
+            pl.BlockSpec((bk, D), lambda i, j: (j, 0)),    # v
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # src_q
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),    # src_k^T
+            pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # tgt_q
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),    # tgt_k^T
+            pl.BlockSpec((1, bk), lambda i, j: (0, j)),    # mask
+        ],
+        out_specs=(pl.BlockSpec((bq, D), lambda i, j: (i, 0)),
+                   pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),
+                   pl.BlockSpec((bq, bk), lambda i, j: (i, j))),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, sp, spT, tp, tpT, mp)
+    return out[:N], cache
+
+
 def _fwd_kernel_cached(q_ref, k_ref, v_ref, c_ref, mask_ref, o_ref, lse_ref,
                        m_scr, l_scr, acc_scr, *, scale: float,
                        nk_blocks: int, mm_dtype):

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(sq_ref, sk_ref, scq_ref, sck_ref, out_ref, acc_ref, *,
+def _kernel(sq_ref, skT_ref, scq_ref, sck_ref, out_ref, acc_ref, *,
             radius_sq: float, nk_blocks: int):
     j = pl.program_id(1)
 
@@ -32,12 +32,15 @@ def _kernel(sq_ref, sk_ref, scq_ref, sck_ref, out_ref, acc_ref, *,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    sq = sq_ref[:]                      # [BQ, 128] zero-padded xyz
-    sk = sk_ref[:]                      # [BK, 128]
-    dot = jax.lax.dot_general(sq, sk, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    d2 = (jnp.sum(sq * sq, 1)[:, None] + jnp.sum(sk * sk, 1)[None, :]
-          - 2.0 * dot)
+    # diff-form distances on the VPU: the kernel has no other MXU work
+    # to overlap with, and the f32 [BQ,128]x[128,BK] distance matmul
+    # (125 dead lanes, ~6x bf16 pass cost) was the tile's dominant cost
+    # (r5 A/B: 12.0 -> measured faster; also the exact dense-path form —
+    # sum of squared coordinate diffs, no norm-identity cancellation)
+    d2 = None
+    for d in range(3):
+        sd = sq_ref[:, d:d + 1] - skT_ref[d:d + 1, :]   # [BQ, BK]
+        d2 = sd * sd if d2 is None else d2 + sd * sd
     higher = sck_ref[:] > scq_ref[:]    # [1,BK] > [BQ,1] -> [BQ, BK]
     suppressed = jnp.any((d2 < radius_sq) & higher, axis=1, keepdims=True)
     acc_ref[:] = jnp.maximum(acc_ref[:], suppressed.astype(jnp.float32))
@@ -59,6 +62,7 @@ def nms_local_max(src_keypts, scores, radius: float, block_q: int = 512,
     # keypoints far away / scores at -inf so padded entries are inert
     sp = jnp.pad(src_keypts.astype(jnp.float32), ((0, Np - N), (0, 125)))
     sp = sp.at[N:, 0].set(1e6)
+    spT = jnp.transpose(sp[:, :8])      # [8, Np] keys, coord in sublanes
     sc = jnp.pad(scores.astype(jnp.float32), (0, Np - N),
                  constant_values=-jnp.inf)
 
@@ -69,7 +73,7 @@ def nms_local_max(src_keypts, scores, radius: float, block_q: int = 512,
         grid=(Np // bq, Np // bk),
         in_specs=[
             pl.BlockSpec((bq, 128), lambda i, j: (i, 0)),  # keypts q
-            pl.BlockSpec((bk, 128), lambda i, j: (j, 0)),  # keypts k
+            pl.BlockSpec((8, bk), lambda i, j: (0, j)),    # keypts k^T
             pl.BlockSpec((bq, 1), lambda i, j: (i, 0)),    # scores q
             pl.BlockSpec((1, bk), lambda i, j: (0, j)),    # scores k
         ],
@@ -78,7 +82,7 @@ def nms_local_max(src_keypts, scores, radius: float, block_q: int = 512,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(sp, sp, sc.reshape(Np, 1), sc.reshape(1, Np))
+    )(sp, spT, sc.reshape(Np, 1), sc.reshape(1, Np))
     return out[:N, 0]
 
 

@@ -251,3 +251,27 @@ class TestFlashBackward:
             q, k, v, s, t, None)
         for x in g:
             assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_build_kernel_matches_build_then_cached(rng):
+    """compat_flash_attention_build (fused layer-1 build+attend) must
+    emit the cache build_compat_cache would and the output the cached
+    kernel would — bitwise, same tiling, same formulas."""
+    from gmf_tpu.ops.fused_attention import compat_flash_attention_build
+
+    N, D = 300, 128
+    q = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    src = jnp.asarray(rng.rand(N, 3).astype(np.float32) * 3)
+    tgt = jnp.asarray(rng.rand(N, 3).astype(np.float32) * 3)
+    mask = jnp.asarray((np.arange(N) < N - 40).astype(np.float32))
+
+    cache_ref = build_compat_cache(src, tgt, sigma_d=0.1, dtype=jnp.int8,
+                                   interpret=True)
+    out_ref = compat_flash_attention(q, k, v, None, None, mask=mask,
+                                     compat=cache_ref, interpret=True)
+    out, cache = compat_flash_attention_build(q, k, v, src, tgt, mask=mask,
+                                              sigma_d=0.1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cache), np.asarray(cache_ref))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
