@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--inlier-checkpoint", required=True)
     ap.add_argument("--dataset", default="3dmatch",
                     choices=["3dmatch", "kitti"])
+    ap.add_argument("--descriptor", default="fcgf",
+                    choices=["fcgf", "fpfh"],
+                    help="matching descriptor: 'fpfh' runs the JAX FPFH "
+                         "variant (GMF_DGR_fpfh tree; the FCGF "
+                         "checkpoint is then unused by register())")
     ap.add_argument("--voxel", type=float, default=None)
     ap.add_argument("--use-icp", action="store_true")
     ap.add_argument("--out", default="eval_dgr")
@@ -158,6 +163,7 @@ def main():
         DGRConfig(voxel_size=voxel, use_icp=args.use_icp,
                   clip_weight_thresh=tcfg.clip_weight_thresh,
                   inlier_feature_type=tcfg.inlier_feature_type,
+                  descriptor=args.descriptor,
                   **({"voxel_cap_granule": 256, "corr_cap_granule": 256}
                      if args.tiny else {})),
         fcgf_model=fcgf_model, inlier_model=inlier_model,

@@ -387,12 +387,15 @@ def _default_blocks():
 
     bq = int(os.environ.get("GMF_FLASH_BLOCK_Q", 512))
     bk = int(os.environ.get("GMF_FLASH_BLOCK_K", 1024))
+    allow_np2 = os.environ.get("GMF_FLASH_ALLOW_NP2") == "1"
     for name, b in (("GMF_FLASH_BLOCK_Q", bq), ("GMF_FLASH_BLOCK_K", bk)):
-        if b <= 0 or b & (b - 1):
+        if b <= 0 or (b & (b - 1) and not allow_np2):
             raise ValueError(
                 f"{name}={b} must be a positive power of two (the "
                 "backward-pass VMEM clamp only applies to power-of-two "
-                "blocks)")
+                "blocks); set GMF_FLASH_ALLOW_NP2=1 for eval-only "
+                "experiments with multiples like 1280 (lcm padding "
+                "still applies — lcm(512,1280)=2560 keeps Np=5120)")
     return bq, bk
 
 
