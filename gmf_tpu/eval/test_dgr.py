@@ -34,6 +34,14 @@ def main():
                          "checkpoint is then unused by register())")
     ap.add_argument("--voxel", type=float, default=None)
     ap.add_argument("--use-icp", action="store_true")
+    ap.add_argument("--safeguard-min-weight", type=float, default=None,
+                    help="override DGRConfig.safeguard_min_weight (the "
+                         "reference's hard 200-weight wsum gate, "
+                         "deep_global_registration.py:330). 0 ablates "
+                         "the RANSAC safeguard — the pure weighted-"
+                         "Procrustes path, isolating the LEARNED "
+                         "component (the default engine's safeguard "
+                         "rescues low-confidence pairs by design)")
     ap.add_argument("--out", default="eval_dgr")
     ap.add_argument("--scenes", nargs="*", default=None,
                     help="subset of SCENE_LIST (default: all)")
@@ -164,6 +172,9 @@ def main():
                   clip_weight_thresh=tcfg.clip_weight_thresh,
                   inlier_feature_type=tcfg.inlier_feature_type,
                   descriptor=args.descriptor,
+                  **({"safeguard_min_weight": args.safeguard_min_weight,
+                      "safeguard_min_frac": 0.0}
+                     if args.safeguard_min_weight is not None else {}),
                   **({"voxel_cap_granule": 256, "corr_cap_granule": 256}
                      if args.tiny else {})),
         fcgf_model=fcgf_model, inlier_model=inlier_model,

@@ -175,8 +175,36 @@ def _compact_map_body(nbr, ids, sizes, tile_base, kd_pad: int, kc_pad: int,
     # gather of the tile's cum row + a broadcast compare-count resolves
     # all 128 slots in a single VPU pass (~6x faster at 22k-corr scale).
     cum_rows = blk_cum[t_row]                          # [nt_pad, B]
-    blk = jnp.sum((cum_rows[:, None, :] < q[:, :, None]).astype(jnp.int32),
-                  axis=-1)                             # [nt_pad, tile]
+    if B > 32:
+        # Hierarchical compare-count (r5): the flat sweep is
+        # O(nt * tile * B) and at KITTI scale (M = 86016 -> B = 672)
+        # it dominated the whole 6-D pyramid build (~2 s across the
+        # maps, r5_tpu harness). Count SUPER-blocks of SB=8 first
+        # (cum at each super-block END, padded with the row total so
+        # pad blocks never under-count), then compare only the chosen
+        # super-block's SB cums — O(nt * tile * (B/SB + SB)) plus one
+        # SB-wide take_along_axis. Exact: every block in an earlier
+        # super-block has cum <= its end-cum < q, later ones >= q.
+        SB = 8
+        Bp = -(-B // SB) * SB
+        cum_p = (cum_rows if Bp == B else jnp.concatenate(
+            [cum_rows, jnp.broadcast_to(cum_rows[:, -1:],
+                                        (nt_pad, Bp - B))], axis=1))
+        sup = cum_p.reshape(nt_pad, Bp // SB, SB)[:, :, -1]
+        sblk = jnp.sum((sup[:, None, :] < q[:, :, None]).astype(jnp.int32),
+                       axis=-1)                        # [nt_pad, tile]
+        sblk_c = jnp.minimum(sblk, Bp // SB - 1)
+        widx = (sblk_c[:, :, None] * SB
+                + jnp.arange(SB, dtype=jnp.int32)[None, None, :])
+        win = jnp.take_along_axis(
+            cum_p, widx.reshape(nt_pad, tile * SB),
+            axis=-1).reshape(nt_pad, tile, SB)
+        blk = sblk_c * SB + jnp.sum(
+            (win < q[:, :, None]).astype(jnp.int32), axis=-1)
+    else:
+        blk = jnp.sum(
+            (cum_rows[:, None, :] < q[:, :, None]).astype(jnp.int32),
+            axis=-1)                                   # [nt_pad, tile]
     empty = blk >= B
     blk = jnp.minimum(blk, B - 1)
     c0 = jnp.where(

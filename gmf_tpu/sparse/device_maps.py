@@ -916,6 +916,9 @@ def build_pyramid_arrays_device(
     # (multiplicity 50+) on the cheap split probe instead of the
     # 13.5x-more-gathers full 729-offset probe (r3: level-2 self map
     # 1.18 s -> ~0.3 s at 22k voxels).
+    import os as _os0
+    import time as _time0
+    _t_plan = _time0.perf_counter()
     split_plan = []             # (chains, chains_t, src_pass or None)
     src_info = []               # (max src multiplicity, rank-in-cell [n])
     for l, c in enumerate(level_coords):
@@ -926,6 +929,9 @@ def build_pyramid_arrays_device(
         chains, chains_t, src_pass, mult, rank0 = plan_split_probe(c)
         src_info.append((mult, rank0))
         split_plan.append((chains, chains_t, src_pass))
+    if _os0.environ.get("GMF_PROBE_PROFILE") == "1":
+        print(f"  [build] host plan (downsample+split plan) "
+              f"{(_time0.perf_counter() - _t_plan) * 1e3:7.1f} ms")
 
     # Joint dense-table budget, set by GATHER RATE, not HBM. Measured on
     # this v5e (scripts/bench_gather_tiers.py, outputs/r3_tpu_sweep/
@@ -951,6 +957,11 @@ def build_pyramid_arrays_device(
     # coarse-level multiplicity (50-80 at surface scans) stops being a
     # round multiplier entirely.
     SRCROWS_MULT_MENU = (4, 8, 16, 32, 64, 128)
+    # NOT extended past 128 (r5): at random-match level 3 (M ~84k,
+    # mult max 236) an R=256 row table means a [27, M, 256] gather
+    # intermediate swept 27 times by the tgt-offset loop (~6e10 VPU
+    # ops, ~15 s) — measurably worse than the 4.3 s split-chain path
+    # those shapes fall back to (srcdense_rowmode_ab_warm.txt).
     SRCROWS_ENTRY_BUDGET = 1 << 24
 
     def _bound3(in_3, out_3, slack):
@@ -970,15 +981,21 @@ def build_pyramid_arrays_device(
         if src_info[l_in] is None:
             return None
         mult, rank = src_info[l_in]
-        row_mode = mult > SRCDENSE_MULT_MENU[-1]
-        # experiment knob: force row-mode at lower multiplicity (row
-        # gathers measured ~2x cheaper per descriptor than scalar
-        # rounds; the default menu split is tuned at 3DMatch scale)
+        # Row-mode default (r5): ON from multiplicity 2 up. The r5
+        # serialized warm A/B at KITTI LiDAR scale
+        # (outputs/r5_tpu/srcdense_rowmode_ab_warm.txt,
+        # scripts/profile_srcdense_random.py) measured rowmode
+        # neutral-to-better in BOTH match regimes — oracle 2.28 vs
+        # 2.33 s full build (probe sum 446 vs 618 ms), random 8.01 vs
+        # 8.24 s — and r4's 3DMatch-scale A/B was neutral. The r4
+        # "rowmode-random regression" (8.64 vs 7.73) compared ACROSS
+        # rounds (r3 baseline vs r4 rowmode, different sessions); the
+        # same-session A/B shows no regression. GMF_SRCDENSE_ROWMODE_MIN
+        # still overrides in either direction per deployment.
         import os as _os2
 
-        _force = _os2.environ.get("GMF_SRCDENSE_ROWMODE_MIN")
-        if _force is not None and mult >= int(_force):
-            row_mode = True
+        _min = int(_os2.environ.get("GMF_SRCDENSE_ROWMODE_MIN", "2"))
+        row_mode = mult >= _min or mult > SRCDENSE_MULT_MENU[-1]
         if row_mode:
             if mult > SRCROWS_MULT_MENU[-1]:
                 return None
@@ -1105,9 +1122,13 @@ def build_pyramid_arrays_device(
     # compact schedules, so compaction costs no extra sync).
     counts = {}
     if prune:
+        _t_counts = _time.perf_counter()
         counts = jax.device_get({
             name: jnp.sum(nbr != cap_l[l_in], axis=1, dtype=jnp.int32)
             for name, l_in, _, nbr in jobs})
+        if _prof:
+            print(f"  [build] counts fetch (syncs all probes) "
+                  f"{(_time.perf_counter() - _t_counts) * 1e3:7.1f} ms")
 
     if compact_conv and prune:
         from gmf_tpu.sparse.compact import build_compact_schedules
@@ -1132,7 +1153,15 @@ def build_pyramid_arrays_device(
             sched_jobs.append((nbr, counts["conv1"], cap_l[0], cap_l[0],
                                False, compact_dense_frac))
             sched_keys.append(("conv1_cmp", None))
+        _t_cmp = _time.perf_counter()
         scheds = build_compact_schedules(sched_jobs)
+        if _prof:
+            t1 = _time.perf_counter()
+            for leaf in jax.tree_util.tree_leaves(scheds):
+                jax.device_get(jnp.ravel(leaf)[:1])
+            print(f"  [build] compact schedules dispatch "
+                  f"{(t1 - _t_cmp) * 1e3:7.1f} ms exec+sync "
+                  f"{(_time.perf_counter() - t1) * 1e3:7.1f} ms")
         arrays: Dict[str, jnp.ndarray] = {}
         for l in range(num_levels):
             arrays[f"mask_{l}"] = mask_l[l]

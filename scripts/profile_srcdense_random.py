@@ -127,6 +127,16 @@ def main():
                 ts.append(time.perf_counter() - t0)
             print(f"  warm build: {min(ts):.2f} s  (runs: "
                   + ", ".join(f"{x:.2f}" for x in ts) + ")")
+            # per-probe timings with every executable warm (the cold
+            # pass above pays remote compiles, occasionally minutes)
+            os.environ["GMF_PROBE_PROFILE"] = "1"
+            print(f"--- {regime} {label} (per-probe, WARM) ---")
+            arrays = build_pyramid_arrays_device(
+                uniq, 4, conv1_kernel_size=3,
+                granule=cfg.corr_cap_granule)
+            for leaf in jax.tree_util.tree_leaves(arrays):
+                jax.device_get(jnp.ravel(leaf)[:1])
+            os.environ["GMF_PROBE_PROFILE"] = "0"
 
 
 if __name__ == "__main__":

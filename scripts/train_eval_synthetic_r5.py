@@ -46,11 +46,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
-FIXTURE_KW = dict(n_points=600, voxel_size=0.05, surface=True,
-                  overlap=0.7, outlier_bias=0.6, outlier_scatter=0.35)
+FIXTURE_KW = dict(n_points=1200, voxel_size=0.05, surface=True,
+                  overlap=0.5, outlier_bias=0.9, outlier_scatter=0.4)
 N_HELD = 12
-N_POOL = 16
-ROUNDS = 14
+N_POOL = 24
+ROUNDS = 8
 
 
 def _cpu():
@@ -115,7 +115,12 @@ def phase_train(workdir):
     from gmf_tpu.utils.checkpoint import save_checkpoint
 
     fcgf, fv, inlier, iv = _tiny_ckpts(workdir)
-    cfg = dgr_3dmatch()
+    # BCE-only: the Procrustes term's arccos-at-clip gradients are
+    # chaotic at this scale and drove recall to collapse (r5 A/B:
+    # full loss F1 0.33 -> 0.13 over rounds; BCE-only precision
+    # climbs 0.38 -> 0.53 base 0.28) — the reference exposes the same
+    # weighting knob (--procrustes_loss_weight).
+    cfg = dgr_3dmatch(procrustes_loss_weight=0.0)
     t = WeightedProcrustesTrainer(
         fcgf, fv, inlier, iv, cfg, voxel_cap_granule=256,
         corr_cap_granule=256, descriptor="fpfh", device_maps=False)
@@ -144,20 +149,39 @@ def phase_eval(workdir, which):
     from gmf_tpu.eval import test_dgr
 
     scenes = open(os.path.join(workdir, "scenes.txt")).read().split()
-    out = os.path.join(workdir, f"eval_{which}")
-    _sys.argv = [
-        "test_dgr", "--root", workdir,
-        "--fcgf-checkpoint", os.path.join(workdir, "fcgf_ckpt"),
-        "--inlier-checkpoint", os.path.join(workdir, f"inlier_{which}"),
-        "--descriptor", "fpfh", "--tiny", "--voxel", "0.05",
-        "--out", out, "--scenes", *scenes,
-    ]
-    test_dgr.main()
-    stats = np.load(os.path.join(out, "dgr_stats.npy"))
-    print(f"[{which}] success {stats[:, 0].mean() * 100:.1f}% "
-          f"({int(stats[:, 0].sum())}/{len(stats)}) "
-          f"rre {stats[stats[:, 0] > 0][:, 1].mean() if stats[:, 0].any() else float('nan'):.2f} "
-          f"rte {stats[stats[:, 0] > 0][:, 2].mean() if stats[:, 0].any() else float('nan'):.3f}")
+    # two engine configurations per arm:
+    #   default — the reference engine: its wsum gate (min weight 200,
+    #     deep_global_registration.py:330) routes the tiny nets' low-
+    #     confidence weights to the RANSAC safeguard + ICP, which
+    #     rescues EVERY pair at this hit ratio (~0.28; RANSAC succeeds
+    #     at any inlier fraction >= ~5%) — trained == untrained == 100%
+    #     BY DESIGN. The engine cannot fail on a learnable fixture.
+    #   ablated — --safeguard-min-weight 0 and NO ICP: the pure
+    #     weighted-Procrustes + refine path, isolating what the
+    #     TRAINED weights contribute (the discriminating measurement).
+    #     ICP must be off here too: from the untrained arm's diluted-
+    #     but-unbiased init (~16 deg — zero-mean wrong matches cancel
+    #     out of the cross-covariance) ICP converges to GT on its own,
+    #     rescuing 12/12 exactly like the safeguard (measured r5).
+    for mode, extra in (("default", ["--use-icp"]),
+                        ("ablated", ["--safeguard-min-weight", "0"])):
+        out = os.path.join(workdir, f"eval_{which}_{mode}")
+        _sys.argv = [
+            "test_dgr", "--root", workdir,
+            "--fcgf-checkpoint", os.path.join(workdir, "fcgf_ckpt"),
+            "--inlier-checkpoint", os.path.join(workdir,
+                                                f"inlier_{which}"),
+            "--descriptor", "fpfh", "--tiny", "--voxel", "0.05",
+            "--out", out, "--scenes", *scenes, *extra,
+        ]
+        test_dgr.main()
+        stats = np.load(os.path.join(out, "dgr_stats.npy"))
+        ok = stats[:, 0] > 0
+        print(f"[{which}/{mode}] success {stats[:, 0].mean() * 100:.1f}% "
+              f"({int(stats[:, 0].sum())}/{len(stats)}) "
+              f"rre {stats[ok][:, 1].mean() if ok.any() else float('nan'):.2f} "
+              f"rte {stats[ok][:, 2].mean() if ok.any() else float('nan'):.3f} "
+              f"safeguard {stats[:, 4].mean() * 100:.0f}%")
 
 
 def main():
